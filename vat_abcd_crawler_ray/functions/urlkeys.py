@@ -1,0 +1,162 @@
+"""URL canonicalization + MurmurHash3 keys (M5/M6 analogs, SURVEY §7.2).
+
+The reference derives stable identities twice: dataset-id → sanitized
+file name (``/root/reference/src/main.rs:171-180``) and field-path →
+sha1 column id (``/root/reference/src/storage/field.rs:10-31``). The
+web-scale engine generalizes both to **canonical URL → murmur3 64-bit
+key**, which drives the seen-set sharding, the frontier partitioning and
+dedup (north_star). Murmur3 is implemented from the public algorithm
+(Austin Appleby's MurmurHash3, public domain) — x64_128 variant, low
+64 bits used as the key, validated against published test vectors.
+
+Everything here is pure (no Ray, no wall-clock, no randomness): batch
+helpers operate on Python lists / numpy arrays inside ``map_batches``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+_MASK64 = (1 << 64) - 1
+
+_C1 = 0x87C37B91114253D5
+_C2 = 0x4CF5AD432745937F
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK64
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _MASK64
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _MASK64
+    k ^= k >> 33
+    return k
+
+
+def murmur3_x64_128(data: bytes, seed: int = 0) -> tuple[int, int]:
+    """MurmurHash3 x64_128 (unsigned h1, h2)."""
+    length = len(data)
+    nblocks = length // 16
+    h1 = h2 = seed & _MASK64
+
+    for i in range(nblocks):
+        off = i * 16
+        k1 = int.from_bytes(data[off : off + 8], "little")
+        k2 = int.from_bytes(data[off + 8 : off + 16], "little")
+
+        k1 = (k1 * _C1) & _MASK64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & _MASK64
+        h1 ^= k1
+        h1 = _rotl64(h1, 27)
+        h1 = (h1 + h2) & _MASK64
+        h1 = (h1 * 5 + 0x52DCE729) & _MASK64
+
+        k2 = (k2 * _C2) & _MASK64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * _C1) & _MASK64
+        h2 ^= k2
+        h2 = _rotl64(h2, 31)
+        h2 = (h2 + h1) & _MASK64
+        h2 = (h2 * 5 + 0x38495AB5) & _MASK64
+
+    tail = data[nblocks * 16 :]
+    if tail:
+        k1 = int.from_bytes(tail[:8], "little")
+        k2 = int.from_bytes(tail[8:16], "little")
+        if len(tail) > 8:
+            k2 = (k2 * _C2) & _MASK64
+            k2 = _rotl64(k2, 33)
+            k2 = (k2 * _C1) & _MASK64
+            h2 ^= k2
+        k1 = (k1 * _C1) & _MASK64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & _MASK64
+        h1 ^= k1
+
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & _MASK64
+    h2 = (h2 + h1) & _MASK64
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _MASK64
+    h2 = (h2 + h1) & _MASK64
+    return h1, h2
+
+
+def murmur3_64(data: bytes | str, seed: int = 0) -> int:
+    """Signed int64 key: low 64 bits (h1) of murmur3 x64_128 — matches
+    the common ``mmh3.hash64()[0]`` convention."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    h1, _ = murmur3_x64_128(data, seed)
+    return h1 - (1 << 64) if h1 >= (1 << 63) else h1
+
+
+_SCHEME_HOST = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$", re.DOTALL)
+_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+
+
+def canonicalize_url(url: str) -> str:
+    """Deterministic canonical form (T1 key, SURVEY §2.3):
+
+    - strip the fragment (``#...``);
+    - lowercase scheme and host;
+    - drop the scheme's default port (``:80`` http / ``:443`` https);
+    - strip a single trailing ``/`` from the path (so ``https://h/`` ≡
+      ``https://h`` and ``https://h/a/`` ≡ ``https://h/a``) unless a
+      query string follows.
+
+    Percent-encoding and query-parameter order are preserved verbatim
+    (documented non-goals — they change fetch semantics on real sites).
+    """
+    frag = url.find("#")
+    if frag >= 0:
+        url = url[:frag]
+    m = _SCHEME_HOST.match(url)
+    if not m:
+        return url.rstrip("/") or url
+    scheme, host, rest = m.group(1).lower(), m.group(2).lower(), m.group(3)
+    port = _DEFAULT_PORTS.get(scheme)
+    if port and host.endswith(port):
+        host = host[: -len(port)]
+    if "?" not in rest:
+        rest = rest.rstrip("/")
+    return f"{scheme}://{host}{rest}"
+
+
+def host_of(url: str) -> str:
+    """Host (lowercased, port kept after canonicalization drops defaults)."""
+    m = _SCHEME_HOST.match(url)
+    return m.group(2).lower() if m else ""
+
+
+# ---- batch (map_batches-friendly) helpers ------------------------------
+
+
+def canonicalize_batch(urls) -> list[str]:
+    return [canonicalize_url(u) for u in urls]
+
+
+def url_keys_batch(urls, seed: int = 0) -> np.ndarray:
+    """int64 murmur3 keys for already-canonical URLs."""
+    return np.fromiter(
+        (murmur3_64(u, seed) for u in urls), dtype=np.int64, count=len(urls)
+    )
+
+
+def hosts_batch(urls) -> list[str]:
+    return [host_of(u) for u in urls]
+
+
+def sanitize_id(dataset_id: str) -> str:
+    """Reference file-name sanitization (M5,
+    ``/root/reference/src/main.rs:171-180``): keep ``[a-zA-Z-]``, replace
+    everything else with ``_``."""
+    return "".join(c if (c.isascii() and c.isalpha()) or c == "-" else "_" for c in dataset_id)
