@@ -1,0 +1,119 @@
+"""Seen-set semantics: cuckoo filter, first-wins dedup, shard actors.
+
+Reference oracle: surrogate_key.rs:47-66 — dense keys from 1, first
+sight New(k), later Existing(k)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from vat_abcd_crawler_ray.state.cuckoo import CuckooFilter
+from vat_abcd_crawler_ray.state.seen_set import ShardedSeenSet, first_wins_dataset
+
+
+class TestCuckoo:
+    def test_no_false_negatives(self):
+        rng = np.random.RandomState(42)
+        keys = rng.randint(-(2**62), 2**62, size=5000).astype(np.int64)
+        keys = np.unique(keys)
+        f = CuckooFilter(capacity=8192)
+        f.add(keys)
+        assert f.contains(keys).all()
+
+    def test_low_false_positive_rate(self):
+        rng = np.random.RandomState(7)
+        keys = np.unique(rng.randint(-(2**62), 2**62, size=4000).astype(np.int64))
+        other = np.unique(rng.randint(-(2**62), 2**62, size=20000).astype(np.int64))
+        other = np.setdiff1d(other, keys)
+        f = CuckooFilter(capacity=8192)
+        f.add(keys)
+        fpr = f.contains(other).mean()
+        assert fpr < 0.01, fpr
+
+    def test_snapshot_roundtrip(self):
+        keys = np.arange(100, dtype=np.int64) * 7919
+        f = CuckooFilter(capacity=512)
+        f.add(keys)
+        g = CuckooFilter.from_state(f.state())
+        assert g.contains(keys).all()
+        assert g.count == f.count
+
+    def test_deterministic(self):
+        keys = np.arange(1000, dtype=np.int64) * 104729
+        f1, f2 = CuckooFilter(2048), CuckooFilter(2048)
+        f1.add(keys)
+        f2.add(keys)
+        assert (f1.table == f2.table).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFirstWins:
+    def test_dataset_first_wins(self):
+        # keys seen at seqs; first sight wins, dense keys in first-seen order
+        rows = [
+            {"key": 100, "seq": 0},
+            {"key": 200, "seq": 1},
+            {"key": 100, "seq": 2},
+            {"key": 300, "seq": 3},
+            {"key": 200, "seq": 4},
+        ]
+        out = (
+            first_wins_dataset(rd.from_items(rows).repartition(3), "key", "seq")
+            .to_pandas()
+            .sort_values("surrogate")
+        )
+        assert out["key"].tolist() == [100, 200, 300]
+        assert out["surrogate"].tolist() == [1, 2, 3]
+        assert out["first_seq"].tolist() == [0, 1, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShardedSeenSet:
+    def test_round_commit_matches_sequential(self):
+        ss = ShardedSeenSet(num_shards=4, capacity_per_shard=4096)
+        # round 1: keys with dup offers, out-of-order seqs
+        keys = np.array([11, 22, 11, 33, 22, 44], dtype=np.int64)
+        seqs = np.array([5, 1, 0, 3, 9, 2], dtype=np.int64)
+        fresh = ss.offer_batch(keys, seqs)
+        assert fresh.all()  # nothing committed yet
+        t = ss.commit_round()
+        got = list(zip(t["key"].to_pylist(), t["surrogate"].to_pylist(), t["first_seq"].to_pylist()))
+        # first_seq: 11→0, 22→1, 44→2, 33→3 → surrogates in that order
+        assert got == [(11, 1, 0), (22, 2, 1), (44, 3, 2), (33, 4, 3)]
+
+        # round 2: repeats are filtered, new key gets next dense surrogate
+        keys2 = np.array([11, 55, 22], dtype=np.int64)
+        fresh2 = ss.offer_batch(keys2, np.array([10, 11, 12], dtype=np.int64))
+        assert fresh2.tolist() == [False, True, False]
+        t2 = ss.commit_round()
+        assert t2["key"].to_pylist() == [55]
+        assert t2["surrogate"].to_pylist() == [5]
+
+        # lookup
+        assert ss.lookup(np.array([22, 55, 999])).tolist() == [2, 5, -1]
+
+    def test_snapshot_restore(self, tmp_path):
+        ss = ShardedSeenSet(num_shards=2, capacity_per_shard=1024)
+        ss.offer_batch(np.array([1, 2, 3]), np.array([0, 1, 2]))
+        ss.commit_round()
+        snap = str(tmp_path / "seen")
+        ss.snapshot(snap)
+
+        ss2 = ShardedSeenSet(num_shards=2, capacity_per_shard=1024)
+        ss2.restore(snap)
+        assert ss2.lookup(np.array([1, 2, 3])).tolist() == [1, 2, 3]
+        assert ss2.next_surrogate == 4
+        # restored set keeps filtering
+        fresh = ss2.offer_batch(np.array([2, 9]), np.array([5, 6]))
+        assert fresh.tolist() == [False, True]
+
+    def test_to_table(self):
+        ss = ShardedSeenSet(num_shards=3)
+        ss.offer_batch(np.array([7, 8, 9]), np.array([2, 0, 1]))
+        ss.commit_round()
+        t = ss.to_table()
+        assert t["surrogate"].to_pylist() == [1, 2, 3]
+        assert t["key"].to_pylist() == [8, 9, 7]

@@ -1,0 +1,137 @@
+"""Join operators (SURVEY §2.4) — Ray-Data-first implementations.
+
+- :func:`broadcast_join` — small side ``ray.put`` once, pandas merge per
+  batch inside ``map_batches`` (no shuffle). The J4 translation-table /
+  dimension join.
+- :func:`broadcast_semi_join` / anti — broadcast the key SET and filter
+  vectorized (J2-style existence checks without moving the big side).
+- :func:`bucket_hash_join` — both sides large: tag + pad to a common
+  schema, union, hash-partition on ``hash(key) % num_buckets`` and merge
+  per bucket inside ``map_groups``. One explicit all-to-all; bucket
+  count and skew handling (salt) are caller-visible knobs.
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def broadcast_join(
+    big: "ray.data.Dataset",
+    small_df: pd.DataFrame,
+    on: str | list[str],
+    how: Literal["left", "inner"] = "inner",
+) -> "ray.data.Dataset":
+    """Join a Dataset against a small in-memory table, shuffle-free.
+
+    ``small_df`` is put in the object store ONCE; every task reads the
+    same copy (zero re-shipping per batch).
+    """
+    small_ref = ray.put(small_df)
+
+    class _Merge:
+        def __init__(self):
+            self.small = ray.get(small_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on, how=how)
+
+    return big.map_batches(_Merge, batch_format="pandas", concurrency=(1, 8))
+
+
+def broadcast_semi_join(
+    big: "ray.data.Dataset",
+    keys,
+    on: str,
+    anti: bool = False,
+) -> "ray.data.Dataset":
+    """Keep rows whose ``on`` value is (not) in ``keys`` — a broadcast
+    semi/anti join. ``keys`` may be a list/ndarray/set."""
+    key_ref = ray.put(pa.array(sorted(set(keys))))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch[on], value_set=ray.get(key_ref))
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return big.map_batches(_filter, batch_format="pyarrow")
+
+
+def _tag_and_pad(
+    ds: "ray.data.Dataset", side: int, all_cols: dict[str, pa.DataType]
+) -> "ray.data.Dataset":
+    def pad(batch: pa.Table) -> pa.Table:
+        arrays, names = [], []
+        for name, typ in all_cols.items():
+            if name in batch.column_names:
+                arrays.append(batch[name].cast(typ))
+            else:
+                arrays.append(pa.nulls(batch.num_rows, typ))
+            names.append(name)
+        arrays.append(pa.array(np.full(batch.num_rows, side, dtype=np.int8)))
+        names.append("__side")
+        return pa.table(arrays, names=names)
+
+    return ds.map_batches(pad, batch_format="pyarrow")
+
+
+def bucket_hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str | list[str],
+    num_buckets: int = 64,
+    how: Literal["inner", "left"] = "inner",
+) -> "ray.data.Dataset":
+    """Partitioned hash join for two large Datasets.
+
+    Hash-partitions both sides on the join key into ``num_buckets``
+    groups (ONE shuffle for both sides via a tagged union), then merges
+    each bucket with a pandas hash join inside ``map_groups``. Choose
+    ``num_buckets`` ≈ cluster cores; a skewed key should be salted by
+    the caller before joining (append a salt column to both sides).
+    """
+    on_cols = [on] if isinstance(on, str) else list(on)
+    lschema, rschema = left.schema(), right.schema()
+    lcols = dict(zip(lschema.names, lschema.types))
+    rcols = dict(zip(rschema.names, rschema.types))
+    for c in on_cols:
+        if lcols[c] != rcols[c]:
+            raise TypeError(f"join key {c!r}: {lcols[c]} != {rcols[c]}")
+    all_cols: dict[str, pa.DataType] = dict(lcols)
+    for name, typ in rcols.items():
+        if name not in all_cols:
+            all_cols[name] = typ
+        elif name not in on_cols and all_cols[name] != typ:
+            raise TypeError(f"conflicting non-key column {name!r}")
+
+    both = _tag_and_pad(left, 0, all_cols).union(_tag_and_pad(right, 1, all_cols))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in on_cols:
+            col = batch[c].to_pandas()
+            h ^= pd.util.hash_array(col.to_numpy(copy=False), categorize=False)
+        return batch.append_column(
+            "__bucket", pa.array((h % num_buckets).astype(np.int32))
+        )
+
+    both = both.map_batches(add_bucket, batch_format="pyarrow")
+
+    lval = [c for c in lcols if c not in on_cols]
+    rval = [c for c in rcols if c not in on_cols]
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0][on_cols + lval]
+        r = group[group["__side"] == 1][on_cols + rval]
+        return l.merge(r, on=on_cols, how=how)
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")

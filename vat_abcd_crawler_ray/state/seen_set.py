@@ -1,0 +1,272 @@
+"""URL-seen set — first-wins surrogate-key assignment (T1, SURVEY §2.3).
+
+Reference semantics (``/root/reference/src/storage/surrogate_key.rs:16-41``):
+a dense counter starting at 1; the FIRST sight of an id allocates the
+next key, later sights reuse it. The reference is single-threaded so
+"first" is trivially arrival order; under parallelism we make it
+**min(seq)** per canonical key — seq is an explicit, deterministic
+sequence number carried in the rows (never wall-clock), so the result
+is independent of task scheduling.
+
+Two implementations, same semantics:
+
+- :func:`first_wins_dataset` — pure Dataset ops
+  (``groupby(key).min(seq)`` → sort → dense index). The
+  oracle-checkable path, used for batch dedup.
+- :class:`ShardedSeenSet` — the streaming path for the crawl frontier:
+  N shard actors (shard = ``key % num_shards``), each holding a cuckoo
+  prefilter (state/cuckoo.py) + an exact ``key → (surrogate,
+  first_seq)`` map. Links discovered mid-round are filtered through
+  ``offer`` (batched actor calls from ``map_batches`` tasks); at the
+  round barrier ``commit_round`` resolves min-seq winners and assigns
+  dense surrogates in (round, first_seq) order — reproducing the
+  sequential crawl's first-seen ordering. Shards snapshot per round for
+  kill/resume (the reference rebuilds from scratch,
+  ``database_sink.rs:91-101``; at 10^10 we must not).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Min
+
+from ..ops.zip_with_index import zip_with_index
+from .cuckoo import CuckooFilter
+
+
+def first_wins_dataset(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    seq_col: str,
+    surrogate_col: str = "surrogate",
+    start: int = 1,
+) -> "ray.data.Dataset":
+    """Dense first-seen surrogate per key: one row per distinct key with
+    ``first_seq = min(seq)`` and surrogates ``start..`` in first_seq
+    order. Deterministic given unique seqs."""
+    firsts = ds.groupby(key_col).aggregate(Min(seq_col, alias_name="first_seq"))
+    return zip_with_index(firsts.sort("first_seq"), surrogate_col, start=start)
+
+
+@ray.remote(num_cpus=0.5)
+class SeenSetShard:
+    """One shard of the seen set. All methods take/return numpy or Arrow
+    (zero pickling of Python row objects)."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 20):
+        self.shard_id = shard_id
+        self.exact: dict[int, tuple[int, int]] = {}  # key -> (surrogate, first_seq)
+        self.filter = CuckooFilter(capacity)
+        self.pending: dict[int, int] = {}  # this round: key -> min seq
+
+    def offer(self, keys: np.ndarray, seqs: np.ndarray) -> np.ndarray:
+        """Mark candidate (key, seq) pairs; returns a bool mask of keys
+        NOT yet committed-seen (i.e. candidates for the next round).
+        Within-round duplicates all return True — the round barrier
+        (commit_round) resolves the min-seq winner."""
+        keys = np.asarray(keys, dtype=np.int64)
+        seqs = np.asarray(seqs, dtype=np.int64)
+        maybe_seen = self.filter.contains(keys)
+        fresh = np.ones(len(keys), dtype=bool)
+        for i in np.flatnonzero(maybe_seen):
+            if int(keys[i]) in self.exact:  # true positive
+                fresh[i] = False
+        for i in np.flatnonzero(fresh):
+            k, s = int(keys[i]), int(seqs[i])
+            prev = self.pending.get(k)
+            if prev is None or s < prev:
+                self.pending[k] = s
+        return fresh
+
+    def commit_round(self) -> pa.Table:
+        """Round barrier step 1: return this shard's NEW (key, first_seq)
+        pairs (keys never committed before), clearing the pending set."""
+        new = [(k, s) for k, s in self.pending.items() if k not in self.exact]
+        self.pending.clear()
+        new.sort(key=lambda t: t[1])
+        return pa.table(
+            {
+                "key": pa.array([k for k, _ in new], pa.int64()),
+                "first_seq": pa.array([s for _, s in new], pa.int64()),
+            }
+        )
+
+    def assign(self, keys: np.ndarray, surrogates: np.ndarray, first_seqs: np.ndarray) -> int:
+        """Round barrier step 2: store driver-assigned dense surrogates."""
+        keys = np.asarray(keys, dtype=np.int64)
+        if len(keys):
+            self.filter.add(keys)
+            for k, g, s in zip(keys.tolist(), surrogates.tolist(), first_seqs.tolist()):
+                self.exact[int(k)] = (int(g), int(s))
+        return len(self.exact)
+
+    def lookup(self, keys: np.ndarray) -> np.ndarray:
+        """surrogate per key, -1 if unseen."""
+        return np.fromiter(
+            (self.exact.get(int(k), (-1, -1))[0] for k in np.asarray(keys)),
+            dtype=np.int64,
+            count=len(keys),
+        )
+
+    def snapshot(self, path: str) -> None:
+        keys = np.fromiter(self.exact.keys(), dtype=np.int64, count=len(self.exact))
+        vals = np.array(list(self.exact.values()), dtype=np.int64).reshape(-1, 2)
+        tmp = path + ".tmp"
+        np.savez_compressed(
+            tmp,
+            keys=keys,
+            surrogates=vals[:, 0] if len(vals) else np.zeros(0, np.int64),
+            first_seqs=vals[:, 1] if len(vals) else np.zeros(0, np.int64),
+            filter_table=self.filter.table,
+            filter_count=self.filter.count,
+            filter_slots=self.filter.slots,
+        )
+        os.replace(tmp + ".npz", path)
+
+    def restore(self, path: str) -> int:
+        st = np.load(path)
+        self.exact = {
+            int(k): (int(g), int(s))
+            for k, g, s in zip(st["keys"], st["surrogates"], st["first_seqs"])
+        }
+        self.filter = CuckooFilter.from_state(
+            {
+                "table": st["filter_table"],
+                "count": int(st["filter_count"]),
+                "slots": int(st["filter_slots"]),
+            }
+        )
+        self.pending = {}
+        return len(self.exact)
+
+    def size(self) -> int:
+        return len(self.exact)
+
+    def dump(self) -> pa.Table:
+        """(key, surrogate, first_seq) for this shard."""
+        keys = np.fromiter(self.exact.keys(), dtype=np.int64, count=len(self.exact))
+        vals = np.array(list(self.exact.values()), dtype=np.int64).reshape(-1, 2)
+        return pa.table(
+            {
+                "key": pa.array(keys),
+                "surrogate": pa.array(vals[:, 0] if len(vals) else np.zeros(0, np.int64)),
+                "first_seq": pa.array(vals[:, 1] if len(vals) else np.zeros(0, np.int64)),
+            }
+        )
+
+
+class ShardedSeenSet:
+    """Driver-side handle over the shard actor pool."""
+
+    def __init__(self, num_shards: int = 8, capacity_per_shard: int = 1 << 20):
+        self.num_shards = num_shards
+        self.shards = [
+            SeenSetShard.remote(i, capacity_per_shard) for i in range(num_shards)
+        ]
+        self.next_surrogate = 1
+
+    def shard_of(self, keys: np.ndarray) -> np.ndarray:
+        return (np.asarray(keys, dtype=np.int64) % self.num_shards).astype(np.int64)
+
+    def offer_batch(self, keys: np.ndarray, seqs: np.ndarray) -> np.ndarray:
+        """Route one batch through the shards; bool mask of fresh keys.
+        Called from inside map_batches tasks (actor handles serialize)."""
+        keys = np.asarray(keys, dtype=np.int64)
+        seqs = np.asarray(seqs, dtype=np.int64)
+        shard_ids = keys % self.num_shards
+        mask = np.zeros(len(keys), dtype=bool)
+        futures, idxs = [], []
+        for sid in np.unique(shard_ids):
+            sel = np.flatnonzero(shard_ids == sid)
+            futures.append(self.shards[int(sid)].offer.remote(keys[sel], seqs[sel]))
+            idxs.append(sel)
+        for sel, res in zip(idxs, ray.get(futures)):
+            mask[sel] = res
+        return mask
+
+    def commit_round(self) -> pa.Table:
+        """Resolve the round: gather new keys from all shards, assign
+        dense surrogates in first_seq order, push assignments back.
+        Returns (key, first_seq, surrogate) for the round's new keys.
+
+        The per-round novelty set is bounded by the round's fetch+link
+        volume (not the total seen-set size); its driver-side sort is a
+        numpy argsort. Beyond ~10^8 new keys/round this step would move
+        to a distributed sort + per-shard offset broadcast.
+        """
+        tables = ray.get([s.commit_round.remote() for s in self.shards])
+        allt = pa.concat_tables(tables)
+        if allt.num_rows == 0:
+            return allt.append_column("surrogate", pa.array([], pa.int64()))
+        keys = allt["key"].to_numpy()
+        seqs = allt["first_seq"].to_numpy()
+        order = np.argsort(seqs, kind="stable")
+        keys, seqs = keys[order], seqs[order]
+        surrogates = np.arange(
+            self.next_surrogate, self.next_surrogate + len(keys), dtype=np.int64
+        )
+        self.next_surrogate += len(keys)
+        shard_ids = keys % self.num_shards
+        futs = []
+        for sid in range(self.num_shards):
+            sel = np.flatnonzero(shard_ids == sid)
+            futs.append(
+                self.shards[sid].assign.remote(keys[sel], surrogates[sel], seqs[sel])
+            )
+        ray.get(futs)
+        return pa.table(
+            {
+                "key": pa.array(keys),
+                "first_seq": pa.array(seqs),
+                "surrogate": pa.array(surrogates),
+            }
+        )
+
+    def lookup(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.int64)
+        shard_ids = keys % self.num_shards
+        out = np.full(len(keys), -1, dtype=np.int64)
+        futures, idxs = [], []
+        for sid in np.unique(shard_ids):
+            sel = np.flatnonzero(shard_ids == sid)
+            futures.append(self.shards[int(sid)].lookup.remote(keys[sel]))
+            idxs.append(sel)
+        for sel, res in zip(idxs, ray.get(futures)):
+            out[sel] = res
+        return out
+
+    def snapshot(self, dir_path: str) -> None:
+        os.makedirs(dir_path, exist_ok=True)
+        ray.get(
+            [
+                s.snapshot.remote(os.path.join(dir_path, f"shard_{i}.npz"))
+                for i, s in enumerate(self.shards)
+            ]
+        )
+        tmp = os.path.join(dir_path, "_meta.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(self.next_surrogate))
+        os.replace(tmp, os.path.join(dir_path, "_meta"))
+
+    def restore(self, dir_path: str) -> None:
+        ray.get(
+            [
+                s.restore.remote(os.path.join(dir_path, f"shard_{i}.npz"))
+                for i, s in enumerate(self.shards)
+            ]
+        )
+        with open(os.path.join(dir_path, "_meta")) as fh:
+            self.next_surrogate = int(fh.read().strip())
+
+    def to_table(self) -> pa.Table:
+        """Full (key, surrogate, first_seq) table, sorted by surrogate.
+        Test/summary scale only (materializes every shard)."""
+        t = pa.concat_tables(ray.get([s.dump.remote() for s in self.shards]))
+        return t.sort_by("surrogate")
