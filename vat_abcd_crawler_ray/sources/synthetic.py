@@ -218,7 +218,12 @@ def generate_corpus(sf_dir: str, out_dir: str) -> None:
             "lang": base["lang"],
         }
     )
-    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))
+    # sort by url + small row groups: the fetch stage's `isin` pushdown
+    # prunes on row-group min/max url statistics (clustered page store)
+    pages = pages.sort_by("url")
+    pq.write_table(
+        pages, os.path.join(out_dir, "pages.parquet"), row_group_size=4096
+    )
 
     # seeds: every 4th doc, in doc_id order, plus non-canonical duplicate
     # forms and a sprinkle of urls absent from pages (fetch-miss path).

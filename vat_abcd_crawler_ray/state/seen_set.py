@@ -55,7 +55,10 @@ def first_wins_dataset(
     return zip_with_index(firsts.sort("first_seq"), surrogate_col, start=start)
 
 
-@ray.remote(num_cpus=0.5)
+# num_cpus=0: shard actors are memory-bound state holders that must not
+# reserve data-plane CPUs (a pool of them would otherwise starve the
+# map_batches stages on small clusters — observed deadlock at num_cpus=4).
+@ray.remote(num_cpus=0)
 class SeenSetShard:
     """One shard of the seen set. All methods take/return numpy or Arrow
     (zero pickling of Python row objects)."""
