@@ -553,7 +553,13 @@ def extracted_dataset(run_dir: str, record_type: str) -> "ray.data.Dataset":
         os.path.join(base, rnd, f"record_type={record_type}")
         for rnd in sorted(os.listdir(base))
     ]
-    dirs = [d for d in dirs if os.path.isdir(d)]
-    if not dirs:
+    files = [
+        os.path.join(d, f)
+        for d in dirs
+        if os.path.isdir(d)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not files:
         raise FileNotFoundError(f"no {record_type} output under {base}")
-    return ray.data.read_parquet(dirs)
+    return ray.data.read_parquet(files)
