@@ -1,0 +1,113 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All are vectorized ``map_batches`` bodies over the ``documents`` table
+(compiled regexes at module import = once per worker process). Each has
+a DuckDB-oracle-equivalent definition where SQL can express it (see
+``__ray_entry__.oracle_sql``); the rolling-hash fingerprint is the
+documented non-SQL exception.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# \S+ runs — matches DuckDB regexp_extract_all(text, '\S+')
+_TOKEN = re.compile(r"\S+")
+# lowercase word runs — matches regexp_extract_all(lower(text), '[a-z]+')
+_WORD = re.compile(r"[a-z]+")
+# ASCII punctuation [!-/:-@[-`{-~]
+_PUNCT = re.compile(r"[!-/:-@\[-`{-~]")
+# BPE-ish piece splitter: word runs, digit runs, single punctuation —
+# the GPT-2-style pre-tokenizer shape (public pattern), ASCII-simplified
+_BPEISH = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to a in is that it for on with as at by".split()),
+    "de": frozenset("der die das und ist nicht ein eine mit von zu im den".split()),
+    "fr": frozenset("le la les et de des un une est dans pour que sur au".split()),
+}
+_LANG_ORDER = ["en", "de", "fr"]  # tie precedence, fixed
+
+
+def token_count(texts: pd.Series) -> np.ndarray:
+    """Whitespace tokens per text (= DuckDB
+    ``length(regexp_extract_all(text, '\\S+'))``)."""
+    return texts.str.count(_TOKEN).to_numpy(dtype=np.int64)
+
+
+def bpeish_token_count(texts: pd.Series) -> np.ndarray:
+    """Sub-word-ish piece count (word runs + digit runs + punct marks)."""
+    return texts.str.count(_BPEISH).to_numpy(dtype=np.int64)
+
+
+def quality_features(texts: pd.Series) -> pd.DataFrame:
+    """(n_chars, n_tokens, punct_ratio, stop_ratio, quality_score).
+
+    quality_score ∈ [0,1]: length band × low punctuation × stopword
+    presence — the classic cheap web-text quality gates (length /
+    punctuation / stopword-ratio heuristics)."""
+    n_chars = texts.str.len().to_numpy(dtype=np.int64)
+    n_tokens = token_count(texts)
+    n_punct = texts.str.count(_PUNCT).to_numpy(dtype=np.int64)
+    words = texts.str.lower().str.findall(_WORD)
+    n_words = words.str.len().to_numpy(dtype=np.int64)
+    stop_en = STOPWORDS["en"]
+    n_stop = np.fromiter(
+        (sum(w in stop_en for w in ws) for ws in words),
+        dtype=np.int64,
+        count=len(words),
+    )
+    punct_ratio = n_punct / np.maximum(1, n_chars)
+    stop_ratio = n_stop / np.maximum(1, n_words)
+    length_ok = ((n_tokens >= 5) & (n_tokens <= 100000)).astype(np.float64)
+    quality = length_ok * (1.0 - np.minimum(1.0, 4.0 * punct_ratio)) * np.minimum(
+        1.0, 4.0 * stop_ratio
+    )
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "punct_ratio": punct_ratio,
+            "stop_ratio": stop_ratio,
+            "quality_score": quality,
+        }
+    )
+
+
+def langid(texts: pd.Series) -> list[str]:
+    """Stopword-vote language ID over {en, de, fr}; ties resolve in
+    fixed precedence order (deterministic, SQL-expressible)."""
+    words = texts.str.lower().str.findall(_WORD)
+    out = []
+    sets = [(lang, STOPWORDS[lang]) for lang in _LANG_ORDER]
+    for ws in words:
+        best_lang, best = _LANG_ORDER[0], -1
+        for lang, sw in sets:
+            c = sum(w in sw for w in ws)
+            if c > best:
+                best_lang, best = lang, c
+        out.append(best_lang)
+    return out
+
+
+def fingerprint(texts: pd.Series) -> np.ndarray:
+    """64-bit rolling (FNV-1a token-chain) document fingerprint:
+    order-sensitive, whitespace-normalized, process-independent (token
+    hash = murmur3_64, never Python's randomized ``hash``). Non-SQL
+    (rows-only oracle)."""
+    from .urlkeys import murmur3_64
+
+    mask = (1 << 64) - 1
+    base = 1099511628211
+    offset = 14695981039346656037
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        h = offset
+        for tok in _TOKEN.findall(t):
+            h = ((h ^ (murmur3_64(tok) & mask)) * base) & mask
+        out[i] = h
+    return out.view(np.int64)
