@@ -1,44 +1,758 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl on sf0.001. ``queries()`` exposes one
+callable per implemented operator family (SURVEY.md §2 + the
+training-data extensions); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for every SQL-expressible one. Column names match exactly between
+the Ray results and the SQL (the driver hashes values under sorted
+column names).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float-safety rules used throughout (so value hashes match bit-for-bit):
+- aggregate SUM/AVG only over integral-valued doubles (exact in IEEE)
+  or wrap in round(x, 6) on BOTH sides;
+- cosine similarity columns are never output (float32/float64 and
+  summation-order differences) — only ids and ranks;
+- single-expression row-level arithmetic (a*(1-b)) is bit-identical
+  between numpy and DuckDB and is output freely.
+
+No ``ray.init`` / ``ray.shutdown`` here or below (driver owns the
+session).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None):
+    import ray.data
+
+    return ray.data.read_parquet(_t(sf_dir, name), columns=columns)
+
+
+def _corpus(sf_dir: str) -> str:
+    from vat_abcd_crawler_ray.sources.synthetic import corpus_dir
+
+    return corpus_dir(sf_dir)
+
+
+TITLE = "/DataSets/DataSet/Metadata/Description/Representation/Title"
+UNIT_ID = "/DataSets/DataSet/Units/Unit/UnitID"
+SPECIES = (
+    "/DataSets/DataSet/Units/Unit/Identifications/Identification/Result"
+    "/TaxonIdentified/ScientificName/FullScientificNameString"
+)
+LON = (
+    "/DataSets/DataSet/Units/Unit/Gathering/SiteCoordinateSets"
+    "/SiteCoordinates/CoordinatesLatLong/LongitudeDecimal"
+)
+LAT = LON.replace("Longitude", "Latitude")
+
+
+def _extract_all(sf_dir: str):
+    """pages → ExtractStage (task-based, zero-copy Arrow batches)."""
+    import ray.data
+
+    from vat_abcd_crawler_ray.config import Settings
+    from vat_abcd_crawler_ray.stages.extract import ExtractStage
+
+    d = _corpus(sf_dir)
+    pages = ray.data.read_parquet(
+        os.path.join(d, "pages.parquet"), columns=["url", "html"]
+    )
+    return pages.map_batches(
+        ExtractStage(Settings()), batch_format="pyarrow", batch_size=256
+    )
+
+
+def _only(ds, record_type: str, cols: dict[str, str]):
+    """Filter one record_type and project/rename columns (vectorized)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["record_type"], record_type))
+        return pa.table({out: t[src] for src, out in cols.items()})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# entry
+# --------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full crawl over the sf0.001 corpus → datasets table."""
+    import tempfile
+
+    from vat_abcd_crawler_ray.pipelines.crawl import CrawlRun
+    from vat_abcd_crawler_ray.pipelines.tables import datasets_table
+
+    d = _corpus("/root/testdata/sf0.001")
+    run_dir = tempfile.mkdtemp(prefix="vat_ray_entry_")
+    run = CrawlRun(
+        os.path.join(d, "pages.parquet"),
+        os.path.join(d, "seeds.parquet"),
+        os.path.join(d, "politeness.parquet"),
+        run_dir,
+    )
+    run.run()
+    return datasets_table(run_dir)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def _q_filter_project(sf_dir: str):
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"))))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "revenue": rev,
+            }
+        )
+
+    return li.map_batches(f, batch_format="pyarrow")
+
+
+def _q_agg_partial(sf_dir: str):
+    """Q1-style grouped aggregate with per-batch partial combine before
+    the shuffle (the pre-aggregation pattern)."""
+    from ray.data.aggregate import Max, Sum
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-01")]
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            psum=("l_quantity", "sum"),
+            pcnt=("l_quantity", "size"),
+            pmax=("l_extendedprice", "max"),
+        )
+        return g.reset_index()
+
+    partials = li.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("psum", alias_name="sum_qty"),
+        Sum("pcnt", alias_name="cnt"),
+        Max("pmax", alias_name="max_price"),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_qty"] = df["sum_qty"] / df["cnt"]
+        df["cnt"] = df["cnt"].astype(np.int64)
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def _q_semi_join_exists(sf_dir: str):
+    from vat_abcd_crawler_ray.ops.joins import broadcast_semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    okeys = _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    return broadcast_semi_join(cust, okeys, on="c_custkey")
+
+
+def _q_groupby_exists_flag(sf_dir: str):
+    import ray
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def high(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["l_extendedprice"], pa.scalar(3000.0))).select(
+            ["l_orderkey"]
+        )
+
+    keys = li.map_batches(high, batch_format="pyarrow").unique("l_orderkey")
+    key_ref = ray.put(set(keys))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(key_ref)
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"],
+                "high_value": df["o_orderkey"].isin(ks),
+            }
+        )
+
+    return orders.map_batches(flag, batch_format="pandas")
+
+
+def _q_hash_join(sf_dir: str):
+    from vat_abcd_crawler_ray.ops.joins import bucket_hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "c_custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = bucket_hash_join(orders, cust, on="c_custkey", num_buckets=16)
+    return out.select_columns(["o_orderkey", "o_totalprice", "c_name"])
+
+
+def _q_broadcast_join(sf_dir: str):
+    from vat_abcd_crawler_ray.ops.joins import broadcast_join
+
+    nation = _read(sf_dir, "nation", ["n_name", "n_regionkey"])
+    region = pd.read_parquet(_t(sf_dir, "region"))
+    region = region.rename(columns={"r_regionkey": "n_regionkey"})
+    out = broadcast_join(nation, region, on="n_regionkey")
+    return out.select_columns(["n_name", "r_name"])
+
+
+def _q_topk(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return orders.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
+def _q_dedup_exact_prefix(sf_dir: str):
+    from vat_abcd_crawler_ray.pipelines.dedup import exact_dedup
+
+    docs = _read(sf_dir, "documents")
+    return exact_dedup(docs, key_len=10)
+
+
+def _q_window_tumbling(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "hour": df["ts"].dt.floor("h"),
+                "value": df["value"],
+            }
+        )
+
+    agg = (
+        ev.map_batches(bucket, batch_format="pandas")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="cnt"), Sum("value", alias_name="sum_value"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["cnt"] = df["cnt"].astype(np.int64)
+        df["sum_value"] = df["sum_value"].round(6)
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def _q_sessionize(sf_dir: str):
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        n = int(gap.sum()) + 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+
+    out = ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return out.map_batches(
+        lambda df: df.astype({"n_sessions": np.int64}), batch_format="pandas"
+    )
+
+
+# ---- corpus / crawl queries ----
+
+
+def _q_extract_titles(sf_dir: str):
+    return _only(_extract_all(sf_dir), "dataset", {"url": "url", TITLE: "title"})
+
+
+def _q_extract_units(sf_dir: str):
+    return _only(
+        _extract_all(sf_dir),
+        "unit",
+        {"url": "url", UNIT_ID: "unit_id", SPECIES: "species", LON: "lon", LAT: "lat"},
+    )
+
+
+def _q_extract_errors(sf_dir: str):
+    return _only(
+        _extract_all(sf_dir), "error", {"url": "url", "error_kind": "error_kind"}
+    )
+
+
+def _q_landing_pages(sf_dir: str):
+    return _only(
+        _extract_all(sf_dir),
+        "dataset",
+        {"url": "url", "dataset_landing_page": "landing_page"},
+    )
+
+
+def _q_seen_first_wins(sf_dir: str):
+    import ray.data
+
+    from vat_abcd_crawler_ray.pipelines.crawl import keyed_frontier_batch
+    from vat_abcd_crawler_ray.state.seen_set import first_wins_dataset
+
+    d = _corpus(sf_dir)
+    seeds = ray.data.read_parquet(os.path.join(d, "seeds.parquet")).map_batches(
+        keyed_frontier_batch, batch_format="pyarrow"
+    )
+    fw = first_wins_dataset(seeds, "key", "seq").to_pandas()
+    canon = (
+        seeds.select_columns(["key", "canonical_url"])
+        .to_pandas()
+        .drop_duplicates("key")
+    )
+    out = fw.merge(canon, on="key", how="inner")
+    return out[["canonical_url", "first_seq", "surrogate"]]
+
+
+def _q_token_stats(sf_dir: str):
+    from vat_abcd_crawler_ray.functions.textstats import token_count
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars_calc": df["text"].str.len().astype(np.int64),
+                "n_tokens": token_count(df["text"]),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def _q_quality(sf_dir: str):
+    from vat_abcd_crawler_ray.functions.textstats import quality_features
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_features(df["text"])
+        q.insert(0, "doc_id", df["doc_id"].to_numpy())
+        return q[["doc_id", "punct_ratio", "stop_ratio", "quality_score"]]
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def _q_langid(sf_dir: str):
+    from vat_abcd_crawler_ray.functions.textstats import langid
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": langid(df["text"])})
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def _q_embed_neardup(sf_dir: str):
+    from vat_abcd_crawler_ray.pipelines.dedup import embedding_neardup_pairs
+
+    emb = _read(sf_dir, "embeddings")
+    out = embedding_neardup_pairs(emb, threshold=0.35)
+    return out.map_batches(
+        lambda df: df.astype({"id_a": np.int64, "id_b": np.int64}),
+        batch_format="pandas",
+    )
+
+
+def _q_knn(sf_dir: str):
+    from vat_abcd_crawler_ray.pipelines.similarity import knn_bruteforce
+
+    emb = _read(sf_dir, "embeddings")
+    qdf = pd.read_parquet(_t(sf_dir, "embeddings"))
+    qdf = qdf[qdf["vec_id"] < 5]
+    queries = pd.DataFrame(
+        {"query_id": qdf["vec_id"], "vector": qdf["embedding"].tolist()}
+    )
+    out = knn_bruteforce(emb, queries, k=5).to_pandas()
+    return out[["query_id", "neighbor_id"]].astype(np.int64)
+
+
+# ---- rows-only (non-SQL-expressible) ----
+
+
+def _q_crawl_flagship(sf_dir: str):
+    import tempfile
+
+    from vat_abcd_crawler_ray.pipelines.crawl import CrawlRun
+    from vat_abcd_crawler_ray.pipelines.tables import datasets_table
+
+    d = _corpus(sf_dir)
+    run_dir = tempfile.mkdtemp(prefix="vat_ray_q_")
+    CrawlRun(
+        os.path.join(d, "pages.parquet"),
+        os.path.join(d, "seeds.parquet"),
+        os.path.join(d, "politeness.parquet"),
+        run_dir,
+    ).run()
+    return datasets_table(run_dir).select_columns(
+        ["surrogate", "dataset_id", "dataset_landing_page", "dataset_provider"]
+    )
+
+
+def _q_crawl_listing(sf_dir: str):
+    import tempfile
+
+    from vat_abcd_crawler_ray.pipelines.crawl import CrawlRun
+    from vat_abcd_crawler_ray.pipelines.tables import listing_table
+
+    d = _corpus(sf_dir)
+    run_dir = tempfile.mkdtemp(prefix="vat_ray_l_")
+    CrawlRun(
+        os.path.join(d, "pages.parquet"),
+        os.path.join(d, "seeds.parquet"),
+        os.path.join(d, "politeness.parquet"),
+        run_dir,
+    ).run()
+    return listing_table(run_dir)
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from vat_abcd_crawler_ray.pipelines.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_read(sf_dir, "documents"), threshold=0.8)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from vat_abcd_crawler_ray.pipelines.dedup import simhash_dedup
+
+    return simhash_dedup(_read(sf_dir, "documents"), hamming_max=3)
+
+
+def _q_fingerprint(sf_dir: str):
+    from vat_abcd_crawler_ray.functions.textstats import fingerprint
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "fp": fingerprint(df["text"])}
+        )
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def _q_knn_lsh(sf_dir: str):
+    from vat_abcd_crawler_ray.pipelines.similarity import knn_lsh
+
+    emb = _read(sf_dir, "embeddings")
+    qdf = pd.read_parquet(_t(sf_dir, "embeddings"))
+    qdf = qdf[qdf["vec_id"] < 5]
+    queries = pd.DataFrame(
+        {"query_id": qdf["vec_id"], "vector": qdf["embedding"].tolist()}
+    )
+    return knn_lsh(emb, queries, k=5, n_bits=4).select_columns(
+        ["query_id", "neighbor_id"]
+    )
+
+
+def _q_multimodal_features(sf_dir: str):
+    """Media plumbing over documents-as-binary: decode → features."""
+    from vat_abcd_crawler_ray.stages.multimodal import (
+        DecodeImageStage,
+        ImageFeatureStage,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        blobs = [s.encode() for s in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "media": pa.array(blobs, pa.binary())}
+        )
+
+    # fractional num_cpus: two chained actor pools must not reserve the
+    # whole (small) cluster — leave CPUs for the read/write tasks.
+    return (
+        docs.map_batches(to_media, batch_format="pyarrow")
+        .map_batches(
+            DecodeImageStage,
+            fn_constructor_kwargs={"out_hw": (16, 16)},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=2,
+            num_cpus=0.5,
+        )
+        .map_batches(
+            ImageFeatureStage,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=2,
+            num_cpus=0.5,
+        )
+        .select_columns(["doc_id", "features"])
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # relational operator coverage
+        "q_filter_project": _q_filter_project,
+        "q_agg_partial": _q_agg_partial,
+        "q_semi_join_exists": _q_semi_join_exists,
+        "q_groupby_exists_flag": _q_groupby_exists_flag,
+        "q_hash_join": _q_hash_join,
+        "q_broadcast_join": _q_broadcast_join,
+        "q_topk": _q_topk,
+        "q_window_tumbling": _q_window_tumbling,
+        "q_sessionize": _q_sessionize,
+        # crawl / extraction
+        "q_extract_titles": _q_extract_titles,
+        "q_extract_units": _q_extract_units,
+        "q_extract_errors": _q_extract_errors,
+        "q_landing_pages": _q_landing_pages,
+        "q_seen_first_wins": _q_seen_first_wins,
+        "q_crawl_flagship": _q_crawl_flagship,
+        "q_crawl_listing": _q_crawl_listing,
+        # training-data ops
+        "q_dedup_exact_prefix": _q_dedup_exact_prefix,
+        "q_dedup_minhash": _q_dedup_minhash,
+        "q_dedup_simhash": _q_dedup_simhash,
+        "q_token_stats": _q_token_stats,
+        "q_quality": _q_quality,
+        "q_langid": _q_langid,
+        "q_fingerprint": _q_fingerprint,
+        "q_embed_neardup": _q_embed_neardup,
+        "q_knn": _q_knn,
+        "q_knn_lsh": _q_knn_lsh,
+        "q_multimodal_features": _q_multimodal_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL
+# --------------------------------------------------------------------------
+
+_STOP_EN = "'the','and','of','to','a','in','is','that','it','for','on','with','as','at','by'"
+_STOP_DE = "'der','die','das','und','ist','nicht','ein','eine','mit','von','zu','im','den'"
+_STOP_FR = "'le','la','les','et','de','des','un','une','est','dans','pour','que','sur','au'"
+
+_PUNCT_RE = "[!-/:-@\\[-`{-~]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from vat_abcd_crawler_ray.sources.synthetic import (
+        EXTRACTED_TEXT_SQL,
+        HOST_SQL,
+        LANDING_URI_SQL,
+        LAT_SQL,
+        LON_SQL,
+        N_UNITS_SQL,
+        PATH_SQL,
+        SPECIES_SQL,
+        UNIT_ID_SQL,
+        URL_SQL,
+    )
+
+    ok = "d.doc_id % 10 <> 7 AND d.doc_id % 10 <> 3"
+
+    return {
+        "q_filter_project": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1.0 - l_discount) AS revenue
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+        """,
+        "q_agg_partial": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   max(l_extendedprice) AS max_price,
+                   sum(l_quantity) / count(*) AS avg_qty
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_semi_join_exists": """
+            SELECT c.c_custkey, c.c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "q_groupby_exists_flag": """
+            SELECT o.o_orderkey,
+                   EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_orderkey = o.o_orderkey
+                             AND l.l_extendedprice > 3000.0) AS high_value
+            FROM orders o
+        """,
+        "q_hash_join": """
+            SELECT o.o_orderkey, o.o_totalprice, c.c_name
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "q_broadcast_join": """
+            SELECT n.n_name, r.r_name
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        """,
+        "q_topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q_window_tumbling": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "q_sessionize": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events)
+            SELECT user_id,
+                   CAST(sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM o GROUP BY user_id
+        """,
+        "q_extract_titles": f"""
+            SELECT ({URL_SQL}) AS url, ({EXTRACTED_TEXT_SQL}) AS title
+            FROM documents d WHERE {ok}
+        """,
+        "q_extract_units": f"""
+            WITH du AS (
+              SELECT d.doc_id,
+                     unnest(generate_series(0, CAST(d.doc_id % 5 AS BIGINT))) AS i
+              FROM documents d WHERE {ok}
+            )
+            SELECT ({URL_SQL}) AS url,
+                   ({UNIT_ID_SQL}) AS unit_id,
+                   ({SPECIES_SQL}) AS species,
+                   CASE WHEN (d.doc_id + i) % 4 <> 0 AND NOT ((d.doc_id + i) % 11 = 5)
+                        THEN {LON_SQL} END AS lon,
+                   CASE WHEN (d.doc_id + i) % 4 <> 0
+                        THEN {LAT_SQL} END AS lat
+            FROM du d
+        """,
+        "q_extract_errors": f"""
+            SELECT ({URL_SQL}) AS url,
+                   CASE WHEN d.doc_id % 10 = 7 THEN 'AbcdParseError'
+                        ELSE 'AbcdNoDatasetMetadata' END AS error_kind
+            FROM documents d WHERE d.doc_id % 10 = 7 OR d.doc_id % 10 = 3
+        """,
+        "q_landing_pages": f"""
+            SELECT ({URL_SQL}) AS url,
+                   CASE WHEN d.doc_id % 3 <> 0 THEN {LANDING_URI_SQL}
+                        ELSE 'https://lp-proxy.example.org/landingpage.php?archive=' || ({URL_SQL})
+                   END AS landing_page
+            FROM documents d WHERE {ok}
+        """,
+        "q_seen_first_wins": f"""
+            WITH all_seeds AS (
+              SELECT ({URL_SQL}) AS canonical_url, d.doc_id AS ord1, 0 AS ord2
+              FROM documents d WHERE d.doc_id % 4 = 0
+              UNION ALL
+              SELECT ({URL_SQL}), d.doc_id, 1 FROM documents d WHERE d.doc_id % 100 = 0
+              UNION ALL
+              SELECT 'https://missing.example.org/m/' || CAST(d.doc_id AS VARCHAR),
+                     d.doc_id, 2
+              FROM documents d WHERE d.doc_id % 80 = 2
+            ), seq AS (
+              SELECT canonical_url,
+                     CAST(row_number() OVER (ORDER BY ord1, ord2) - 1 AS BIGINT) AS seq
+              FROM all_seeds
+            ), firsts AS (
+              SELECT canonical_url, min(seq) AS first_seq
+              FROM seq GROUP BY canonical_url
+            )
+            SELECT canonical_url, first_seq,
+                   CAST(row_number() OVER (ORDER BY first_seq) AS BIGINT) AS surrogate
+            FROM firsts
+        """,
+        "q_dedup_exact_prefix": """
+            SELECT d.* FROM documents d
+            JOIN (SELECT substr(text, 1, 10) AS k, min(doc_id) AS m
+                  FROM documents GROUP BY substr(text, 1, 10)) kk
+              ON d.doc_id = kk.m
+        """,
+        "q_token_stats": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_calc,
+                   CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "q_quality": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                     CAST(length(regexp_extract_all(text, '{_PUNCT_RE}')) AS DOUBLE)
+                       / greatest(1, length(text)) AS punct_ratio,
+                     CAST(length(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                                  x -> x IN ({_STOP_EN}))) AS DOUBLE)
+                       / greatest(1, length(regexp_extract_all(lower(text), '[a-z]+')))
+                       AS stop_ratio
+              FROM documents)
+            SELECT doc_id, punct_ratio, stop_ratio,
+                   (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+                   * (1.0 - least(1.0, 4.0 * punct_ratio))
+                   * least(1.0, 4.0 * stop_ratio) AS quality_score
+            FROM b
+        """,
+        "q_langid": f"""
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     length(list_filter(ws, x -> x IN ({_STOP_EN}))) AS c_en,
+                     length(list_filter(ws, x -> x IN ({_STOP_DE}))) AS c_de,
+                     length(list_filter(ws, x -> x IN ({_STOP_FR}))) AS c_fr
+              FROM w)
+            SELECT doc_id,
+                   CASE WHEN c_en >= c_de AND c_en >= c_fr THEN 'en'
+                        WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS lang_pred
+            FROM c
+        """,
+        "q_embed_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.35
+        """,
+        "q_knn": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])) AS cos
+                  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+            r AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbor_id) AS rn
+                  FROM s)
+            SELECT query_id, neighbor_id FROM r WHERE rn <= 5
+        """,
+    }
