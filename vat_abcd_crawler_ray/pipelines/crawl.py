@@ -118,12 +118,15 @@ class CrawlRun:
         run_dir: str,
         settings: Settings | None = None,
         select_mode: str = "auto",  # auto | driver | distributed
+        fetch_mode: str = "store",  # store | scan
     ):
         self.pages_path = pages_path
         self.seeds_path = seeds_path
         self.settings = settings or Settings()
         self.run_dir = run_dir
         self.select_mode = select_mode
+        self.fetch_mode = fetch_mode
+        self._page_store = None
         self.manifest = RunManifest(run_dir)
         cc = self.settings.crawl
         self.seen = ShardedSeenSet(cc.num_seen_shards, cc.seen_capacity_per_shard)
@@ -165,6 +168,13 @@ class CrawlRun:
             keyed_frontier_batch, batch_format="pyarrow"
         )
         sdf = seeds.to_pandas()  # the seed list is driver-bounded
+        # C1 debug window: skip(dataset_start).take(dataset_limit), only
+        # when debug is on (/root/reference/src/main.rs:154-169)
+        if self.settings.debug:
+            sdf = sdf.sort_values("seq", kind="mergesort")
+            start = self.settings.dataset_start
+            limit = self.settings.dataset_limit
+            sdf = sdf.iloc[start : start + limit if limit else None]
         self.seen.offer_batch(sdf["key"].to_numpy(), sdf["seq"].to_numpy())
         admitted = self.seen.commit_round().to_pandas()
         sdf = sdf.sort_values("seq", kind="mergesort").drop_duplicates("key")
@@ -294,30 +304,46 @@ class CrawlRun:
 
     # ---------------- fetch ----------------
     def _fetch(self, winners: pd.DataFrame, rnd: int) -> "ray.data.Dataset":
-        """Simulated network fetch (S3): lookup ``html`` by url in the
-        pages table with an ``isin`` pushdown — the page store is
-        url-clustered, so only matching row groups leave storage. The
-        per-round url list is Σ-host-budget-bounded; beyond
-        ``fetch_isin_limit`` the scale path is a bucketed hash join of
-        frontier × pages on the url key (ops/joins.py). The broadcast
-        meta (surrogate/seq/round per url) is ``ray.put`` ONCE, read per
-        task from the local object store."""
-        urls = winners["canonical_url"].tolist()
-        pages = ray.data.read_parquet(
-            self.pages_path,
-            columns=["url", "html", "lang", "warc_ts"],
-            filter=pc.field("url").isin(urls),
-        )
+        """Simulated network fetch (S3,
+        ``/root/reference/src/file_downloader.rs:8-29``): O(K) lookups
+        against the sharded in-memory page store (state/page_store.py),
+        loaded ONCE per crawl — never a per-round corpus scan. Fallback
+        ``fetch_mode="scan"`` keeps the one-shot ``isin``-pushdown read
+        for store-less runs."""
         meta = winners[["canonical_url", "surrogate", "seq", "priority"]].rename(
             columns={"canonical_url": "url"}
         )
         meta = meta.assign(round=np.int64(rnd))
-        meta_ref = ray.put(meta)
 
-        def attach(batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(ray.get(meta_ref), on="url", how="inner")
+        if self.fetch_mode == "scan":
+            pages = ray.data.read_parquet(
+                self.pages_path,
+                columns=["url", "html", "lang", "warc_ts"],
+                filter=pc.field("url").isin(meta["url"].tolist()),
+            )
+            meta_ref = ray.put(meta)
 
-        return pages.map_batches(attach, batch_format="pandas")
+            def attach(batch: pd.DataFrame) -> pd.DataFrame:
+                return batch.merge(ray.get(meta_ref), on="url", how="inner")
+
+            return pages.map_batches(attach, batch_format="pandas")
+
+        if self._page_store is None:
+            from ..state.page_store import get_page_store
+
+            self._page_store = get_page_store(
+                self.pages_path, self.settings.crawl.num_page_shards
+            )
+        # partition the fetch list so the fused fetch→extract chain can
+        # use the whole cluster: ~2 tasks per CPU, ≥256 urls per task
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        nparts = max(1, min(2 * ncpu, len(meta) // 256))
+        req = ray.data.from_pandas(meta)
+        if nparts > 1:
+            req = req.repartition(nparts)
+        return req.map_batches(
+            self._page_store.fetch_fn(), batch_format="pyarrow", batch_size=1024
+        )
 
     # ---------------- one round ----------------
     def _round(self, rnd: int) -> bool:
@@ -357,23 +383,52 @@ class CrawlRun:
         links = pd.DataFrame()
         if not winners.empty:
             fetched = self._fetch(winners, rnd)
-            # task-based map_batches with a pre-built picklable stage
-            # instance: no per-round actor-pool spin-up; worker processes
-            # are reused across rounds so the unpickled stage stays warm.
+            # ONE parse execution per round, pinned via materialize();
+            # the parquet write and the links / fetched-url projections
+            # below re-read the pinned blocks — no reparse, and no
+            # driver read-back of hundreds of small part files (which
+            # measurably anti-scaled with cluster size).
             extracted = fetched.map_batches(
                 self._extract_stage(),
                 batch_format="pyarrow",
                 batch_size=cc.batch_size,
-            )
+            ).materialize()
             extracted.write_parquet(out_dir, partition_cols=["record_type"])
 
-            got: set[str] = set()
-            for kind in ("dataset", "error"):
-                kdir = os.path.join(out_dir, f"record_type={kind}")
-                if os.path.isdir(kdir):
-                    got.update(
-                        _read_parquet_dir(kdir, columns=["url"])["url"].tolist()
-                    )
+            # driver-side projections straight off the pinned blocks
+            # (zero extra Ray executions — each execution's flat startup
+            # cost was a measured per-round tax; link keying already
+            # happened inside the parse tasks)
+            proj_cols = [
+                "record_type", "url", "seq",
+                "link_url", "link_idx", "link_canonical", "link_key", "link_host",
+            ]
+            blocks = []
+            for bundle in extracted.iter_internal_ref_bundles():
+                for block_ref in bundle.block_refs:
+                    blocks.append(block_ref)
+            tbls = [t.select(proj_cols) for t in ray.get(blocks) if t.num_rows]
+            if tbls:
+                allt = pa.concat_tables(tbls)
+                got_mask = pc.is_in(
+                    allt["record_type"],
+                    value_set=pa.array(["dataset", RECORD_ERROR]),
+                )
+                got = set(allt.filter(got_mask)["url"].to_pylist())
+                lt = allt.filter(pc.equal(allt["record_type"], "link"))
+                links = pa.table(
+                    {
+                        "link_url": lt["link_url"],
+                        "seq": lt["seq"],
+                        "link_idx": lt["link_idx"],
+                        "canonical_url": lt["link_canonical"],
+                        "key": lt["link_key"],
+                        "host": lt["link_host"],
+                    }
+                ).to_pandas()
+            else:
+                got, links = set(), pd.DataFrame()
+
             miss = winners[~winners["canonical_url"].isin(got)]
             n_miss = len(miss)
             n_fetched = len(winners) - n_miss
@@ -393,30 +448,19 @@ class CrawlRun:
                 os.makedirs(miss_dir, exist_ok=True)
                 pq.write_table(miss_t, os.path.join(miss_dir, "misses.parquet"))
 
-            link_dir = os.path.join(out_dir, "record_type=link")
-            if os.path.isdir(link_dir):
-                links = _read_parquet_dir(
-                    link_dir, columns=["link_url", "seq", "link_idx"]
+            if len(links):
+                pr = winners[["seq", "priority"]].rename(
+                    columns={"priority": "parent_priority"}
                 )
-                if len(links):
-                    pr = winners[["seq", "priority"]].rename(
-                        columns={"priority": "parent_priority"}
-                    )
-                    links = links.merge(pr, on="seq", how="left")
-                    links["priority"] = links["parent_priority"].fillna(0.0) * 0.5
-                    links = links.drop(columns=["parent_priority"])
+                links = links.merge(pr, on="seq", how="left")
+                links["priority"] = links["parent_priority"].fillna(0.0) * 0.5
+                links = links.drop(columns=["parent_priority"])
 
         # ---- link admission (deterministic child seqs, then seen-filter)
         admitted_rows = 0
         new_frontier = pd.DataFrame(columns=FRONTIER_COLS)
         if len(links):
             self.metrics.links_discovered += len(links)
-            canon = canonicalize_batch(links["link_url"].tolist())
-            links = links.assign(
-                canonical_url=canon,
-                key=url_keys_batch(canon),
-                host=hosts_batch(canon),
-            )
             links = links.sort_values(["seq", "link_idx"], kind="mergesort")
             links = links.drop_duplicates("key", keep="first")
             links = links.assign(

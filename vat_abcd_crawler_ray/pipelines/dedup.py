@@ -87,13 +87,27 @@ def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]
     return a, b
 
 
+_ROLL_P = np.uint64(1099511628211)  # FNV prime as the polynomial base
+
+
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """uint64 hashes of the k-char shingle set."""
-    n = len(text)
+    """uint64 hashes of the k-byte shingle set — fully vectorized
+    polynomial rolling hash over the UTF-8 bytes (no per-shingle Python
+    loop), finalized with an fmix64-style avalanche."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n = len(data)
     if n < k:
         return np.array([murmur3_64(text) & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
-    seen = {murmur3_64(text[i : i + k]) & 0xFFFFFFFFFFFFFFFF for i in range(n - k + 1)}
-    return np.fromiter(seen, dtype=np.uint64, count=len(seen))
+    h = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):  # k (=5) vectorized passes, not n passes
+        h = h * _ROLL_P + data[j : n - k + 1 + j].astype(np.uint64)
+    # avalanche (murmur3 fmix64 constants) then dedupe
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return np.unique(h)
 
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -173,28 +187,51 @@ def minhash_lsh_dedup(
         sign, batch_format="pandas"
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    signed = signed.materialize()  # consumed twice below; bands are small
+
+    # Find buckets with ≥2 members via per-batch PARTIAL counts combined
+    # on the driver (the partials are ≤ one row per distinct bucket per
+    # batch). Both a per-group map_groups (~0.1 ms Python per group ×
+    # 80k buckets) and Ray's sort-based multi-key groupby (measured 37 s
+    # on 80k rows) are pathological at this shape; at 10^11-bucket scale
+    # the combine moves to a single-key hash groupby over
+    # murmur3(band, band_hash) partials.
+    partials = signed.map_batches(
+        lambda df: df.groupby(["band", "band_hash"], sort=False)
+        .size()
+        .reset_index(name="n"),
+        batch_format="pandas",
+    ).to_pandas()
+    totals = partials.groupby(["band", "band_hash"], sort=False)["n"].sum()
+    hot = totals[totals >= 2]
+    hot_keys = set(hot.index)
+
+    def in_hot(df: pd.DataFrame) -> pd.DataFrame:
+        mask = [
+            (b, h) in hot_keys for b, h in zip(df["band"], df["band_hash"])
+        ]
+        return df[np.asarray(mask, dtype=bool)]
+
+    cand = signed.map_batches(in_hot, batch_format="pandas").to_pandas()
+
+    # STAR verification: inside a bucket, estimate Jaccard only against
+    # the min-id representative — O(|bucket|), not O(|bucket|²). Heavy
+    # duplication makes buckets huge (measured 500-member buckets on the
+    # test corpus); pairwise there is quadratic for no extra recall —
+    # transitive members meet the same representative through other
+    # bands. Min-label propagation still merges across buckets.
+    src_l, dst_l = [], []
+    for _, group in cand.groupby(["band", "band_hash"], sort=False):
         g = group.drop_duplicates("id").sort_values("id")
         if len(g) < 2:
-            return pd.DataFrame({"src": [], "dst": []})
-        ids = g["id"].tolist()
-        sigs = np.stack(
-            [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
-        )
-        src, dst = [], []
-        for i in range(len(ids)):
-            est = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            for j in np.flatnonzero(est >= threshold):
-                src.append(ids[i])
-                dst.append(ids[i + 1 + j])
-        return pd.DataFrame({"src": src, "dst": dst})
-
-    edges = (
-        signed.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+            continue
+        ids = g["id"].to_numpy()
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+        est = (sigs[1:] == sigs[0]).mean(axis=1)
+        for j in np.flatnonzero(est >= threshold):
+            src_l.append(ids[0])
+            dst_l.append(ids[1 + j])
+    edges = pd.DataFrame({"src": src_l, "dst": dst_l}).drop_duplicates()
     label = _components_min_label(edges)
     dup_ids = {i for i, root in label.items() if root != i}
 
@@ -244,27 +281,39 @@ def simhash_dedup(
         sign, batch_format="pandas"
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    signed = signed.materialize()
+
+    # same hot-bucket pattern as minhash: partial counts + driver combine
+    partials = signed.map_batches(
+        lambda df: df.groupby(["band", "band_val"], sort=False)
+        .size()
+        .reset_index(name="n"),
+        batch_format="pandas",
+    ).to_pandas()
+    totals = partials.groupby(["band", "band_val"], sort=False)["n"].sum()
+    hot = totals[totals >= 2]
+    hot_keys = set(hot.index)
+
+    def in_hot(df: pd.DataFrame) -> pd.DataFrame:
+        mask = [(b, h) in hot_keys for b, h in zip(df["band"], df["band_val"])]
+        return df[np.asarray(mask, dtype=bool)]
+
+    cand = signed.map_batches(in_hot, batch_format="pandas").to_pandas()
+
+    src_l, dst_l = [], []
+    for _, group in cand.groupby(["band", "band_val"], sort=False):
         g = group.drop_duplicates("id").sort_values("id")
         if len(g) < 2:
-            return pd.DataFrame({"src": [], "dst": []})
+            continue
         ids = g["id"].to_numpy()
         hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        src, dst = [], []
         for i in range(len(ids)):
             x = hs[i] ^ hs[i + 1 :]
-            d = np.array([bin(int(v)).count("1") for v in x]) if len(x) else []
-            for j in np.flatnonzero(np.asarray(d) <= hamming_max):
-                src.append(int(ids[i]))
-                dst.append(int(ids[i + 1 + j]))
-        return pd.DataFrame({"src": src, "dst": dst})
-
-    edges = (
-        signed.groupby(["band", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+            d = np.array([bin(int(v)).count("1") for v in x])
+            for j in np.flatnonzero(d <= hamming_max):
+                src_l.append(int(ids[i]))
+                dst_l.append(int(ids[i + 1 + j]))
+    edges = pd.DataFrame({"src": src_l, "dst": dst_l}).drop_duplicates()
     label = _components_min_label(edges)
     dup_ids = {i for i, root in label.items() if root != i}
 

@@ -181,15 +181,28 @@ def _build_html(doc_id: int, text: str, n_docs: int) -> bytes:
     ).encode()
 
 
-def generate_corpus(sf_dir: str, out_dir: str) -> None:
-    """Materialize pages/seeds/politeness parquet under ``out_dir``."""
+def generate_corpus(sf_dir: str, out_dir: str, replicate: int = 1,
+                    budget_scale: int = 1) -> None:
+    """Materialize pages/seeds/politeness parquet under ``out_dir``.
+
+    ``replicate=K`` unions K doc_id-shifted copies of the documents
+    table before applying the (purely doc_id-driven) derivation rules —
+    a self-consistent K×-larger corpus for BENCHING ONLY (oracles use
+    K=1). ``budget_scale`` multiplies per-host politeness budgets (a
+    config knob, used to trade rounds for round size in benchmarks)."""
     import duckdb
 
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW d AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    n_base = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    copies = " UNION ALL ".join(
+        f"SELECT doc_id + {k * n_base} AS doc_id, text, lang, source, n_chars "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+        for k in range(replicate)
     )
+    con.execute(f"CREATE VIEW d AS {copies}")
     base = con.execute(
         f"""
         SELECT d.doc_id AS doc_id,
@@ -218,12 +231,23 @@ def generate_corpus(sf_dir: str, out_dir: str) -> None:
             "lang": base["lang"],
         }
     )
-    # sort by url + small row groups: the fetch stage's `isin` pushdown
-    # prunes on row-group min/max url statistics (clustered page store)
+    # url-sorted, MULTI-FILE page store: one file per ~4096 pages so any
+    # reader (ray.data, pyarrow dataset) gets real read parallelism —
+    # a single 100MB+ file collapses to 1-2 blocks and serializes every
+    # downstream map_batches stage. Row-group stats still serve `isin`
+    # pushdown in scan-mode fetch.
     pages = pages.sort_by("url")
-    pq.write_table(
-        pages, os.path.join(out_dir, "pages.parquet"), row_group_size=4096
-    )
+    pages_dir = os.path.join(out_dir, "pages.parquet")
+    os.makedirs(pages_dir, exist_ok=True)
+    chunk = 4096
+    nfiles = max(1, (pages.num_rows + chunk - 1) // chunk)
+    for fi in range(nfiles):
+        part = pages.slice(fi * chunk, chunk)
+        pq.write_table(
+            part,
+            os.path.join(pages_dir, f"part-{fi:05d}.parquet"),
+            row_group_size=1024,
+        )
 
     # seeds: every 4th doc, in doc_id order, plus non-canonical duplicate
     # forms and a sprinkle of urls absent from pages (fetch-miss path).
@@ -254,7 +278,7 @@ def generate_corpus(sf_dir: str, out_dir: str) -> None:
     politeness = con.execute(
         f"""
         SELECT host,
-               CAST(CASE WHEN host = '{MEGA_HOST}' THEN {MEGA_BUDGET}
+               CAST({budget_scale} * CASE WHEN host = '{MEGA_HOST}' THEN {MEGA_BUDGET}
                     ELSE {SMALL_BUDGET} END AS BIGINT) AS max_fetches_per_round,
                '{ROBOTS_DISALLOW_PREFIX}' AS robots_disallow_prefix
         FROM (SELECT DISTINCT {HOST_SQL} AS host FROM d) ORDER BY host
@@ -264,7 +288,8 @@ def generate_corpus(sf_dir: str, out_dir: str) -> None:
     con.close()
 
 
-def corpus_dir(sf_dir: str, cache_root: str = CACHE_ROOT) -> str:
+def corpus_dir(sf_dir: str, cache_root: str = CACHE_ROOT, replicate: int = 1,
+               budget_scale: int = 1) -> str:
     """Generate-once cache: corpus for ``sf_dir`` under a stable path.
 
     Atomic: generation happens in a temp dir renamed into place, so a
@@ -272,13 +297,15 @@ def corpus_dir(sf_dir: str, cache_root: str = CACHE_ROOT) -> str:
     """
     sf_dir = os.path.abspath(sf_dir)
     key = sf_dir.strip("/").replace("/", "_")
+    if replicate != 1 or budget_scale != 1:
+        key += f"_x{replicate}_b{budget_scale}"
     out = os.path.join(cache_root, key)
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
     tmp = out + f".tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    generate_corpus(sf_dir, tmp)
+    generate_corpus(sf_dir, tmp, replicate=replicate, budget_scale=budget_scale)
     with open(os.path.join(tmp, "_COMPLETE"), "w") as fh:
         fh.write("ok")
     os.makedirs(cache_root, exist_ok=True)

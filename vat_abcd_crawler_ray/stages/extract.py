@@ -60,6 +60,12 @@ META_COLS: list[tuple[str, pa.DataType]] = [
     ("geom_wkt", pa.string()),
     ("link_url", pa.string()),
     ("link_idx", pa.int64()),
+    # link keying computed AT EMISSION inside the parallel parse task
+    # (canonicalize + murmur3 + host) so no later stage or the driver
+    # pays a serial keying pass over 10^5 links per round
+    ("link_canonical", pa.string()),
+    ("link_key", pa.int64()),
+    ("link_host", pa.string()),
     ("error_kind", pa.string()),
     ("error_message", pa.string()),
 ]
@@ -189,6 +195,21 @@ class ExtractStage:
 
         if not rows:
             return self.schema.empty_table()
+        # vectorized link keying over this batch's link rows
+        link_rows = [
+            i for i, r in enumerate(rows) if r[ix["record_type"]] == RECORD_LINK
+        ]
+        if link_rows:
+            from ..functions.urlkeys import canonicalize_batch, url_keys_batch
+
+            canon = canonicalize_batch([rows[i][ix["link_url"]] for i in link_rows])
+            keys = url_keys_batch(canon)
+            hosts = [host_of(c) for c in canon]
+            jc, jk, jh = ix["link_canonical"], ix["link_key"], ix["link_host"]
+            for i, c, k, h in zip(link_rows, canon, keys, hosts):
+                rows[i][jc] = c
+                rows[i][jk] = int(k)
+                rows[i][jh] = h
         cols = list(zip(*rows))
         return pa.table(
             [pa.array(list(c), type=f.type) for c, f in zip(cols, self.schema)],

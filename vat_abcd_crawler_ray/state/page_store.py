@@ -1,0 +1,149 @@
+"""Sharded page store — the simulated network (S3 fetch analog).
+
+The reference fetches each dataset over HTTP (O(1) per url,
+``/root/reference/src/file_downloader.rs:8-29``). In this sandbox the
+"network" is the pages Parquet table; a naive per-round
+``read_parquet(filter=url.isin(...))`` re-scans the whole corpus every
+round — O(corpus × rounds). This store loads the corpus ONCE into N
+actors and answers each round's fetch list with O(K) indexed lookups,
+like a real fetch tier.
+
+Sharding is by URL RANGE, not hash: the corpus files are globally
+url-sorted, so shard i owns files ``i, i+N, …`` and the router finds a
+url's file with a binary search over the file-start boundaries (read
+once from the parquet footers). Each shard therefore decodes only its
+1/N of the corpus at init (hash sharding made every shard decode
+everything), and lookups need no hashing at all.
+
+Memory: |corpus|/N rows of Arrow data per shard, zero-copy ``take`` on
+get. At true 100 TB scale the same interface fronts an HTTP fetcher or
+a bucketed page archive; the batched ``get(urls)`` contract stays.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+
+@ray.remote(num_cpus=0)
+class PageStoreShard:
+    def __init__(self, files: list[str], columns: list[str]):
+        t = pa.concat_tables(pq.read_table(f, columns=columns) for f in files)
+        self.table = t.combine_chunks()
+        self.index = {u: i for i, u in enumerate(self.table["url"].to_pylist())}
+
+    def get(self, urls: list[str]) -> pa.Table:
+        """Rows for the urls present in this shard (misses are simply
+        absent — the caller diffs against its request list)."""
+        idxs = [self.index[u] for u in urls if u in self.index]
+        if not idxs:
+            return self.table.slice(0, 0)
+        return self.table.take(pa.array(idxs, type=pa.int64()))
+
+    def size(self) -> int:
+        return len(self.index)
+
+
+_STORE_CACHE: dict[tuple[str, int], "PageStore"] = {}
+
+
+def get_page_store(pages_path: str, num_shards: int = 8) -> "PageStore":
+    """Session-scoped cache: one shard pool per (corpus, shard count) —
+    repeated crawls over the same corpus (tests, benches, resumes) reuse
+    the loaded actors instead of re-decoding the parquet."""
+    key = (pages_path, num_shards)
+    store = _STORE_CACHE.get(key)
+    if store is None or not store.alive():
+        store = PageStore(pages_path, num_shards)
+        _STORE_CACHE[key] = store
+    return store
+
+
+class PageStore:
+    """Driver-side handle; builds the shard pool once per corpus."""
+
+    COLUMNS = ["url", "html", "lang", "warc_ts"]
+
+    def __init__(self, pages_path: str, num_shards: int = 8):
+        if os.path.isdir(pages_path):
+            files = sorted(
+                os.path.join(pages_path, f)
+                for f in os.listdir(pages_path)
+                if f.endswith(".parquet")
+            )
+        else:
+            files = [pages_path]
+        num_shards = min(num_shards, len(files))
+        self.num_shards = num_shards
+        # file-start boundaries from the footers (urls sorted globally)
+        starts: list[str] = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            col_idx = md.schema.to_arrow_schema().get_field_index("url")
+            starts.append(md.row_group(0).column(col_idx).statistics.min)
+        self._starts = np.array(starts[1:], dtype=object)  # boundaries after file 0
+        self._file_shard = np.array(
+            [i % num_shards for i in range(len(files))], dtype=np.int64
+        )
+        self.shards = [
+            PageStoreShard.remote(
+                [f for j, f in enumerate(files) if j % num_shards == i],
+                self.COLUMNS,
+            )
+            for i in range(num_shards)
+        ]
+        ray.get([s.size.remote() for s in self.shards])
+
+    def alive(self) -> bool:
+        try:
+            ray.get(self.shards[0].size.remote(), timeout=5)
+            return True
+        except Exception:
+            return False
+
+    def shard_of(self, urls: list[str]) -> np.ndarray:
+        file_idx = np.searchsorted(self._starts, np.array(urls, dtype=object),
+                                   side="right")
+        return self._file_shard[file_idx]
+
+    def fetch_fn(self):
+        """A map_batches body: batch with a ``url`` column (+ any meta
+        columns) → page rows joined with that meta. Runs in tasks; each
+        batch makes ≤ num_shards actor calls."""
+        shards = self.shards
+        starts = self._starts
+        file_shard = self._file_shard
+
+        def fetch(batch: pa.Table) -> pa.Table:
+            urls = batch["url"].to_pylist()
+            file_idx = np.searchsorted(
+                starts, np.array(urls, dtype=object), side="right"
+            )
+            shard_ids = file_shard[file_idx]
+            futs = []
+            for sid in np.unique(shard_ids):
+                sel = np.flatnonzero(shard_ids == sid)
+                futs.append(shards[int(sid)].get.remote([urls[i] for i in sel]))
+            parts = [p for p in ray.get(futs) if p.num_rows]
+            if not parts:
+                schema = pa.schema(
+                    [
+                        ("url", pa.string()),
+                        ("html", pa.binary()),
+                        ("lang", pa.string()),
+                        ("warc_ts", pa.timestamp("us")),
+                    ]
+                )
+                pages = schema.empty_table()
+            else:
+                pages = pa.concat_tables(parts)
+            meta = batch.to_pandas()
+            pdf = pages.to_pandas().merge(meta, on="url", how="inner")
+            return pa.Table.from_pandas(pdf, preserve_index=False)
+
+        return fetch

@@ -122,7 +122,9 @@ class SeenSetShard:
         keys = np.fromiter(self.exact.keys(), dtype=np.int64, count=len(self.exact))
         vals = np.array(list(self.exact.values()), dtype=np.int64).reshape(-1, 2)
         tmp = path + ".tmp"
-        np.savez_compressed(
+        # uncompressed: snapshots happen EVERY round; compression cost
+        # grows with the seen set while the write stays page-cache fast
+        np.savez(
             tmp,
             keys=keys,
             surrogates=vals[:, 0] if len(vals) else np.zeros(0, np.int64),
