@@ -291,6 +291,151 @@ def _q_sessionize(sf_dir: str):
     )
 
 
+def _q_anti_join(sf_dir: str):
+    """Customers with no order above 400k — broadcast ANTI join (the
+    filtered key set is small → ship the set, not the rows)."""
+    from vat_abcd_crawler_ray.ops.joins import broadcast_semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(400000.0))).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    okeys = big.unique("o_custkey")
+    return broadcast_semi_join(cust, okeys, on="c_custkey", anti=True)
+
+
+def _q_multi_join_agg(sf_dir: str):
+    """customer(segment) ⋉ orders ⋉ lineitem → qty per order: broadcast
+    semi-joins down the chain, partial per-batch combine, small final
+    groupby — no large-side shuffle anywhere."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    ckeys = set(cust[cust["c_mktsegment"] == "BUILDING"]["c_custkey"])
+    orders = pd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    okeys_ref = ray.put(set(orders[orders["o_custkey"].isin(ckeys)]["o_orderkey"]))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ok = ray.get(okeys_ref)
+        df = df[df["l_orderkey"].isin(ok)]
+        g = df.groupby("l_orderkey", sort=False)["l_quantity"].sum()
+        return g.reset_index(name="psum")
+
+    out = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("l_orderkey")
+        .aggregate(Sum("psum", alias_name="qty"))
+    )
+    return out.map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas",
+    )
+
+
+def _q_distinct(sf_dir: str):
+    """DISTINCT via per-batch partial dedup + tiny driver combine."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    parts = li.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
+    ).to_pandas()
+    return parts.drop_duplicates().reset_index(drop=True)
+
+
+def _q_union(sf_dir: str):
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    a = o.map_batches(
+        lambda df: df[df["o_orderstatus"] == "O"], batch_format="pandas"
+    )
+    b = o.map_batches(
+        lambda df: df[df["o_orderstatus"] == "F"], batch_format="pandas"
+    )
+    return a.union(b)
+
+
+def _q_topk_per_key(sf_dir: str):
+    from vat_abcd_crawler_ray.ops.topk import topk_per_key
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    return topk_per_key(
+        li,
+        key="l_returnflag",
+        k=3,
+        sort_cols=["l_extendedprice", "l_orderkey", "l_linenumber"],
+        ascending=[False, True, True],
+    )
+
+
+def _q_sliding_window(sf_dir: str):
+    """2h windows sliding by 1h: each event lands in 2 windows (explode),
+    then partial counts per batch + small final combine."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def explode_and_count(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["ts"].dt.floor("h")
+        both = pd.concat(
+            [
+                pd.DataFrame({"event_type": df["event_type"], "window_start": h}),
+                pd.DataFrame(
+                    {
+                        "event_type": df["event_type"],
+                        "window_start": h - pd.Timedelta(hours=1),
+                    }
+                ),
+            ]
+        )
+        g = both.groupby(["event_type", "window_start"], sort=False).size()
+        return g.reset_index(name="pcnt")
+
+    parts = ev.map_batches(explode_and_count, batch_format="pandas").to_pandas()
+    out = (
+        parts.groupby(["event_type", "window_start"], sort=False)["pcnt"]
+        .sum()
+        .reset_index(name="cnt")
+    )
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out
+
+
+def _q_asof_join(sf_dir: str):
+    """Per click event, the most recent purchase (ts' <= ts) of the same
+    user — sort within user groups + pandas merge_asof (the documented
+    as-of pattern; partitioning assumption: one user fits one group)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
+        purchases = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        if clicks.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype=np.int64),
+                    "user_id": pd.Series(dtype=np.int64),
+                    "asof_purchase_ts": pd.Series(dtype="datetime64[us]"),
+                }
+            )
+        merged = pd.merge_asof(
+            clicks[["event_id", "user_id", "ts"]],
+            purchases[["ts"]].assign(asof_purchase_ts=purchases["ts"]),
+            on="ts",
+            direction="backward",
+        )
+        # inner semantics: clicks with no prior purchase drop out
+        merged = merged.dropna(subset=["asof_purchase_ts"])
+        return merged[["event_id", "user_id", "asof_purchase_ts"]]
+
+    return ev.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
 # ---- corpus / crawl queries ----
 
 
@@ -533,6 +678,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_topk": _q_topk,
         "q_window_tumbling": _q_window_tumbling,
         "q_sessionize": _q_sessionize,
+        "q_anti_join": _q_anti_join,
+        "q_multi_join_agg": _q_multi_join_agg,
+        "q_distinct": _q_distinct,
+        "q_union": _q_union,
+        "q_topk_per_key": _q_topk_per_key,
+        "q_sliding_window": _q_sliding_window,
+        "q_asof_join": _q_asof_join,
         # crawl / extraction
         "q_extract_titles": _q_extract_titles,
         "q_extract_units": _q_extract_units,
@@ -636,6 +788,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM o GROUP BY user_id
+        """,
+        "q_anti_join": """
+            SELECT c.c_custkey, c.c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 400000.0)
+        """,
+        "q_multi_join_agg": """
+            SELECT l.l_orderkey AS o_orderkey, sum(l.l_quantity) AS qty
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY l.l_orderkey
+        """,
+        "q_distinct": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "q_union": """
+            SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "q_topk_per_key": """
+            WITH r AS (
+              SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                     row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+                     ) AS rn
+              FROM lineitem)
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+            FROM r WHERE rn <= 3
+        """,
+        "q_sliding_window": """
+            WITH w AS (
+              SELECT event_type, date_trunc('hour', ts) AS window_start FROM events
+              UNION ALL
+              SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events
+            )
+            SELECT event_type, window_start, CAST(count(*) AS BIGINT) AS cnt
+            FROM w GROUP BY event_type, window_start
+        """,
+        "q_asof_join": """
+            SELECT c.event_id, c.user_id, p.ts AS asof_purchase_ts
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND p.ts <= c.ts
         """,
         "q_extract_titles": f"""
             SELECT ({URL_SQL}) AS url, ({EXTRACTED_TEXT_SQL}) AS title

@@ -162,3 +162,36 @@ class TestCrawl:
         merged = got.merge(pages, on="url", how="left")
         assert len(merged) == len(got)
         assert (merged[title_col] == merged["text"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_replays_partial_round_without_duplicates(corpus, tmp_path):
+    """A crash mid-round leaves half-written outputs; the replay must
+    overwrite, not append (C3 all-or-nothing round commit)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    d = tmp_path / "run"
+    s = Settings()
+    s.crawl.max_rounds = 1
+    r1 = _mk_run(corpus, d, settings=s)
+    r1.run()
+
+    # simulate a crashed round 1: partial extracted files, no commit
+    partial = os.path.join(str(d), "staging", "extracted", "round=1",
+                           "record_type=dataset")
+    os.makedirs(partial, exist_ok=True)
+    pq_.write_table(
+        pa.table({"url": ["junk://leftover"], "surrogate": [999]}),
+        os.path.join(partial, "leftover.parquet"),
+    )
+
+    rres = _mk_run(corpus, d)
+    rres.run(resume=True)
+
+    full = _mk_run(corpus, tmp_path / "full")
+    full.run()
+    pd.testing.assert_frame_equal(_fetch_log(d), _fetch_log(tmp_path / "full"))
+    # the junk partial file is gone
+    log = _fetch_log(d)
+    assert not log["url"].str.startswith("junk").any()

@@ -352,6 +352,12 @@ class CrawlRun:
         if not os.path.isdir(fdir):
             return False
 
+        # a replayed (crashed, uncommitted) round must not APPEND to its
+        # half-written outputs — the round commit is all-or-nothing (C3)
+        shutil.rmtree(self.extracted_dir(rnd), ignore_errors=True)
+        shutil.rmtree(self._p("select", f"round={rnd}"), ignore_errors=True)
+        shutil.rmtree(self.frontier_dir(rnd + 1), ignore_errors=True)
+
         mode = self.select_mode
         if mode == "auto":
             n_frontier = sum(
