@@ -550,6 +550,78 @@ def _q_knn(sf_dir: str):
     return out[["query_id", "neighbor_id"]].astype(np.int64)
 
 
+def _q_ngram_overlap(sf_dir: str):
+    """Word-3gram Jaccard over candidate pairs (docs sharing a 10-char
+    prefix — the blocked-verification pattern): per-group pairwise exact
+    n-gram Jaccard inside map_groups. inter/union are ints so the
+    division is bit-exact vs SQL."""
+    from vat_abcd_crawler_ray.pipelines.dedup import word_ngrams
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__k=df["text"].str[:10])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64),
+                 "id_b": pd.Series(dtype=np.int64),
+                 "jac": pd.Series(dtype=np.float64)}
+            )
+        ids = g["doc_id"].tolist()
+        grams = [word_ngrams(t, 3) for t in g["text"]]
+        ia, ib, jc = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(grams[i] & grams[j])
+                union = len(grams[i]) + len(grams[j]) - inter
+                ia.append(ids[i])
+                ib.append(ids[j])
+                jc.append(inter / union if union else 1.0)
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "jac": jc})
+
+    out = (
+        docs.map_batches(add_key, batch_format="pandas")
+        .groupby("__k")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return out.map_batches(
+        lambda df: df.astype({"id_a": np.int64, "id_b": np.int64}),
+        batch_format="pandas",
+    )
+
+
+def _q_count_distinct(sf_dir: str):
+    """Exact distinct count via per-batch partial dedup + driver union."""
+    docs = _read(sf_dir, "documents", ["text"])
+    parts = docs.map_batches(
+        lambda df: df["text"].str[:10].drop_duplicates().to_frame("k"),
+        batch_format="pandas",
+    ).to_pandas()
+    return pd.DataFrame({"n": [np.int64(parts["k"].nunique())]})
+
+
+def _q_seed_hosts(sf_dir: str):
+    """Seeds per host — the frontier's host histogram (skew visibility)."""
+    import ray.data
+
+    from vat_abcd_crawler_ray.pipelines.crawl import keyed_frontier_batch
+
+    d = _corpus(sf_dir)
+    seeds = ray.data.read_parquet(os.path.join(d, "seeds.parquet")).map_batches(
+        keyed_frontier_batch, batch_format="pyarrow"
+    )
+    parts = seeds.map_batches(
+        lambda df: df.groupby("host", sort=False).size().reset_index(name="n"),
+        batch_format="pandas",
+    ).to_pandas()
+    out = parts.groupby("host", sort=False)["n"].sum().reset_index(name="n_seeds")
+    out["n_seeds"] = out["n_seeds"].astype(np.int64)
+    return out
+
+
 # ---- rows-only (non-SQL-expressible) ----
 
 
@@ -695,6 +767,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_crawl_listing": _q_crawl_listing,
         # training-data ops
         "q_dedup_exact_prefix": _q_dedup_exact_prefix,
+        "q_ngram_overlap": _q_ngram_overlap,
+        "q_count_distinct": _q_count_distinct,
+        "q_seed_hosts": _q_seed_hosts,
         "q_dedup_minhash": _q_dedup_minhash,
         "q_dedup_simhash": _q_dedup_simhash,
         "q_token_stats": _q_token_stats,
@@ -896,6 +971,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT substr(text, 1, 10) AS k, min(doc_id) AS m
                   FROM documents GROUP BY substr(text, 1, 10)) kk
               ON d.doc_id = kk.m
+        """,
+        "q_ngram_overlap": """
+            WITH t AS (
+              SELECT doc_id, substr(text, 1, 10) AS k,
+                     regexp_extract_all(text, '\\S+') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, k,
+                     CASE WHEN length(toks) < 3 THEN [array_to_string(toks, chr(31))]
+                          ELSE list_distinct(list_transform(
+                            generate_series(1, length(toks) - 2),
+                            i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2]))
+                     END AS grams
+              FROM t
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / nullif(length(a.grams) + length(b.grams)
+                            - length(list_intersect(a.grams, b.grams)), 0) AS jac
+            FROM g a JOIN g b ON a.k = b.k AND a.doc_id < b.doc_id
+        """,
+        "q_count_distinct": """
+            SELECT CAST(count(DISTINCT substr(text, 1, 10)) AS BIGINT) AS n
+            FROM documents
+        """,
+        "q_seed_hosts": f"""
+            WITH s AS (
+              SELECT ({HOST_SQL}) AS host FROM documents d WHERE d.doc_id % 4 = 0
+              UNION ALL
+              SELECT ({HOST_SQL}) FROM documents d WHERE d.doc_id % 100 = 0
+              UNION ALL
+              SELECT 'missing.example.org' FROM documents d WHERE d.doc_id % 80 = 2
+            )
+            SELECT host, CAST(count(*) AS BIGINT) AS n_seeds FROM s GROUP BY host
         """,
         "q_token_stats": """
             SELECT doc_id,

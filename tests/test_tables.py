@@ -136,3 +136,35 @@ class TestArchiveCsv:
         # dataset-scope columns are EMPTY in unit rows (main.rs:94-109)
         title = "/DataSets/DataSet/Metadata/Description/Representation/Title"
         assert df[title].tolist() == ["", ""]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_extract_stage_result_hook():
+    """User-extension seam (SURVEY §2.8): a picklable hook transforms
+    each AbcdResult before emission."""
+    import ray.data as rd
+    import pyarrow as pa
+    from vat_abcd_crawler_ray.stages.extract import ExtractStage
+
+    xml = (
+        b'<abcd:DataSets xmlns:abcd="http://www.tdwg.org/schemas/abcd/2.06">'
+        b"<abcd:DataSet><abcd:Metadata><abcd:Description><abcd:Representation>"
+        b"<abcd:Title>low</abcd:Title></abcd:Representation></abcd:Description>"
+        b"</abcd:Metadata><abcd:Units><abcd:Unit><abcd:UnitID>u</abcd:UnitID>"
+        b"</abcd:Unit></abcd:Units></abcd:DataSet></abcd:DataSets>"
+    )
+    title = "/DataSets/DataSet/Metadata/Description/Representation/Title"
+
+    # nested fn → cloudpickle serializes by value (a module-level fn in
+    # the tests dir would not be importable inside workers)
+    def upper_title(res):
+        if title in res.dataset:
+            res.dataset[title] = res.dataset[title].upper()
+        return res
+
+    ds = rd.from_items([{"url": "http://h/x", "html": xml}])
+    out = ds.map_batches(
+        ExtractStage(result_hook=upper_title), batch_format="pyarrow"
+    ).to_pandas()
+    drow = out[out["record_type"] == "dataset"].iloc[0]
+    assert drow[title] == "LOW"

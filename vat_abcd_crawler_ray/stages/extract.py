@@ -82,8 +82,18 @@ class ExtractStage:
     """map_batches(ExtractStage, batch_format="pyarrow", concurrency=N,
     batch_size=B) — B small (wide binary html rows)."""
 
-    def __init__(self, settings: Settings | None = None, registry: FieldRegistry | None = None):
+    def __init__(
+        self,
+        settings: Settings | None = None,
+        registry: FieldRegistry | None = None,
+        result_hook=None,
+    ):
+        """``result_hook`` is the user-extension seam (SURVEY §2.8):
+        a picklable ``AbcdResult -> AbcdResult`` callable applied to each
+        successful parse before row emission (e.g. enrichment, redaction,
+        custom landing-page policy)."""
         self.settings = settings or Settings()
+        self.result_hook = result_hook
         ab = self.settings.abcd
         self.registry = registry or (
             FieldRegistry.from_json_file(ab.fields_file)
@@ -131,6 +141,8 @@ class ExtractStage:
                     provider_name=host_of(url),
                     landing_page_field=self.landing_page_field,
                 )
+                if self.result_hook is not None:
+                    res = self.result_hook(res)
             except (AbcdParseError, AbcdNoDatasetMetadata) as e:
                 row = self._blank_row()
                 row[ix["record_type"]] = RECORD_ERROR
