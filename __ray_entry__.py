@@ -661,6 +661,24 @@ def _q_crawl_listing(sf_dir: str):
     return listing_table(run_dir)
 
 
+def _q_crawl_errors(sf_dir: str):
+    """Dead-letter table of a crawl run (C2 soft errors as data)."""
+    import tempfile
+
+    from vat_abcd_crawler_ray.pipelines.crawl import CrawlRun
+    from vat_abcd_crawler_ray.pipelines.tables import errors_table
+
+    d = _corpus(sf_dir)
+    run_dir = tempfile.mkdtemp(prefix="vat_ray_e_")
+    CrawlRun(
+        os.path.join(d, "pages.parquet"),
+        os.path.join(d, "seeds.parquet"),
+        os.path.join(d, "politeness.parquet"),
+        run_dir,
+    ).run()
+    return errors_table(run_dir)
+
+
 def _q_dedup_minhash(sf_dir: str):
     from vat_abcd_crawler_ray.pipelines.dedup import minhash_lsh_dedup
 
@@ -765,6 +783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_seen_first_wins": _q_seen_first_wins,
         "q_crawl_flagship": _q_crawl_flagship,
         "q_crawl_listing": _q_crawl_listing,
+        "q_crawl_errors": _q_crawl_errors,
         # training-data ops
         "q_dedup_exact_prefix": _q_dedup_exact_prefix,
         "q_ngram_overlap": _q_ngram_overlap,

@@ -58,6 +58,14 @@ def units_table(run_dir: str, registry: FieldRegistry | None = None) -> "ray.dat
     return extracted_dataset(run_dir, "unit").select_columns(cols)
 
 
+def errors_table(run_dir: str) -> "ray.data.Dataset":
+    """Dead-letter rows (C2: per-item soft errors are DATA, not task
+    failures — parse failures + fetch misses with url/seq provenance)."""
+    return extracted_dataset(run_dir, "error").select_columns(
+        ["url", "surrogate", "seq", "round", "error_kind", "error_message"]
+    )
+
+
 def translation_table(registry: FieldRegistry | None = None) -> pa.Table:
     reg = registry or FieldRegistry()
     rows = reg.translation_rows()
@@ -126,6 +134,7 @@ def write_all_tables(run_dir: str, out_dir: str, registry: FieldRegistry | None 
         ("datasets", datasets_table(run_dir, reg)),
         ("units", units_table(run_dir, reg)),
         ("listing", listing_table(run_dir, reg)),
+        ("errors", errors_table(run_dir)),
     ]:
         p = os.path.join(out_dir, name)
         ds.write_parquet(p)
