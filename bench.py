@@ -50,7 +50,7 @@ def _bench_queries(sf_dir: str, num_cpus: int) -> tuple[dict, dict]:
     from vat_abcd_crawler_ray.stages.extract import ExtractStage
 
     replicate = int(os.environ.get("BENCH_REPLICATE", "40"))
-    budget_scale = int(os.environ.get("BENCH_BUDGET_SCALE", "200"))
+    budget_scale = int(os.environ.get("BENCH_BUDGET_SCALE", "1000"))
     corpus = corpus_dir(sf_dir, replicate=replicate, budget_scale=budget_scale)
 
     timings: dict[str, float] = {}

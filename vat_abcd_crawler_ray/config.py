@@ -26,7 +26,7 @@ class AbcdConfig:
 class CrawlConfig:
     num_seen_shards: int = 8
     seen_capacity_per_shard: int = 1 << 20
-    num_page_shards: int = 8  # simulated-network page store shards
+    num_page_shards: int = 16  # simulated-network page store shards
     max_rounds: int = 64
     default_host_budget: int = 8  # max fetches per host per round
     salt_buckets: int = 16  # mega-host split factor for selection

@@ -334,16 +334,32 @@ class CrawlRun:
             self._page_store = get_page_store(
                 self.pages_path, self.settings.crawl.num_page_shards
             )
-        # partition the fetch list so the fused fetch→extract chain can
-        # use the whole cluster: ~2 tasks per CPU, ≥256 urls per task
+        # Driver-side shard routing: ONE get() per shard per round; the
+        # shard results become dataset blocks directly (from_arrow_refs,
+        # no extra copies), then split to ~2 blocks per CPU so the fused
+        # attach→extract chain uses the whole cluster. The earlier
+        # design — map_batches tasks each calling ray.get on shard
+        # actors — blocked workers inside ray.get and made Ray spawn
+        # replacement processes (observed 56 workers on an 8-CPU
+        # cluster: hidden oversubscription that corrupted scaling).
+        store = self._page_store
+        urls = meta["url"].tolist()
+        shard_ids = store.shard_of(urls)
+        refs = []
+        for sid in np.unique(shard_ids):
+            sel = np.flatnonzero(shard_ids == sid)
+            refs.append(store.shards[int(sid)].get.remote([urls[i] for i in sel]))
+        fetched = ray.data.from_arrow_refs(refs)
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         nparts = max(1, min(2 * ncpu, len(meta) // 256))
-        req = ray.data.from_pandas(meta)
         if nparts > 1:
-            req = req.repartition(nparts)
-        return req.map_batches(
-            self._page_store.fetch_fn(), batch_format="pyarrow", batch_size=1024
-        )
+            fetched = fetched.repartition(nparts)
+        meta_ref = ray.put(meta)
+
+        def attach(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(ray.get(meta_ref), on="url", how="inner")
+
+        return fetched.map_batches(attach, batch_format="pandas")
 
     # ---------------- one round ----------------
     def _round(self, rnd: int) -> bool:
@@ -550,6 +566,14 @@ class CrawlRun:
 
     # ---------------- top-level ----------------
     def run(self, resume: bool = False) -> CrawlMetrics:
+        if self.fetch_mode == "store" and self._page_store is None:
+            # kick off shard decode now — it overlaps seed bootstrap
+            # (PageStore construction no longer blocks on shard init)
+            from ..state.page_store import get_page_store
+
+            self._page_store = get_page_store(
+                self.pages_path, self.settings.crawl.num_page_shards
+            )
         start_round = 0
         if resume and self.manifest.last_complete_round() >= 0:
             last = self.manifest.last_complete_round()

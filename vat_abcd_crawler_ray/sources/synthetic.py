@@ -281,7 +281,8 @@ def generate_corpus(sf_dir: str, out_dir: str, replicate: int = 1,
                CAST({budget_scale} * CASE WHEN host = '{MEGA_HOST}' THEN {MEGA_BUDGET}
                     ELSE {SMALL_BUDGET} END AS BIGINT) AS max_fetches_per_round,
                '{ROBOTS_DISALLOW_PREFIX}' AS robots_disallow_prefix
-        FROM (SELECT DISTINCT {HOST_SQL} AS host FROM d) ORDER BY host
+        FROM (SELECT DISTINCT {HOST_SQL} AS host FROM d
+              UNION SELECT '{MISSING_HOST}') ORDER BY host
         """
     ).arrow()
     pq.write_table(politeness, os.path.join(out_dir, "politeness.parquet"))

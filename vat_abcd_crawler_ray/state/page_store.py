@@ -97,11 +97,13 @@ class PageStore:
             )
             for i in range(num_shards)
         ]
-        ray.get([s.size.remote() for s in self.shards])
+        # do NOT block here: shard decode overlaps the caller's seed
+        # bootstrap; the first fetch (or alive()) synchronizes.
+        self._ready = [s.size.remote() for s in self.shards]
 
     def alive(self) -> bool:
         try:
-            ray.get(self.shards[0].size.remote(), timeout=5)
+            ray.get(self.shards[0].size.remote(), timeout=30)
             return True
         except Exception:
             return False
