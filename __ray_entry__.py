@@ -224,6 +224,22 @@ def _q_hash_join(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_totalprice", "c_name"])
 
 
+def _q_native_join(sf_dir: str):
+    """Same join as q_hash_join but via Ray Data's built-in
+    hash-partitioned ``Dataset.join`` (API coverage alongside the
+    portable bucketed implementation in ops/joins.py)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    j = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    return j.select_columns(["o_orderkey", "o_totalprice", "c_name"])
+
+
 def _q_broadcast_join(sf_dir: str):
     from vat_abcd_crawler_ray.ops.joins import broadcast_join
 
@@ -764,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_semi_join_exists": _q_semi_join_exists,
         "q_groupby_exists_flag": _q_groupby_exists_flag,
         "q_hash_join": _q_hash_join,
+        "q_native_join": _q_native_join,
         "q_broadcast_join": _q_broadcast_join,
         "q_topk": _q_topk,
         "q_window_tumbling": _q_window_tumbling,
@@ -856,6 +873,10 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
         """,
         "q_hash_join": """
+            SELECT o.o_orderkey, o.o_totalprice, c.c_name
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "q_native_join": """
             SELECT o.o_orderkey, o.o_totalprice, c.c_name
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         """,
