@@ -485,6 +485,12 @@ class CrawlRun:
             self.metrics.links_discovered += len(links)
             links = links.sort_values(["seq", "link_idx"], kind="mergesort")
             links = links.drop_duplicates("key", keep="first")
+            # a sequential crawler only numbers NOVEL urls — filter
+            # against the committed seen set BEFORE consuming seqs, so
+            # the seq/surrogate sequence is identical to the
+            # single-threaded reference (tests/test_crawl_vs_sequential)
+            known = self.seen.lookup(links["key"].to_numpy()) >= 0
+            links = links[~known]
             links = links.assign(
                 child_seq=np.arange(self.next_seq, self.next_seq + len(links))
             )
