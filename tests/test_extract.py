@@ -197,3 +197,18 @@ def test_format_vat_value():
     assert format_vat_value(1e21) == "1000000000000000000000"
     assert format_vat_value(None) == ""
     assert format_vat_value("x") == "x"
+
+
+from hypothesis import given, settings as hyp_settings, strategies as st
+
+
+@given(st.binary(max_size=400))
+@hyp_settings(max_examples=200, deadline=None)
+def test_parser_total_on_arbitrary_bytes(data):
+    """parse_abcd is total: arbitrary bytes either parse or raise one of
+    the two controlled error types — never crash, hang, or corrupt."""
+    try:
+        res = parse_abcd(data, FieldRegistry())
+        assert isinstance(res.units, list)
+    except (AbcdParseError, AbcdNoDatasetMetadata):
+        pass
