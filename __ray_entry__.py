@@ -641,58 +641,49 @@ def _q_seed_hosts(sf_dir: str):
 # ---- rows-only (non-SQL-expressible) ----
 
 
-def _q_crawl_flagship(sf_dir: str):
-    import tempfile
+_CRAWL_RUN_CACHE: dict[str, str] = {}
 
-    from vat_abcd_crawler_ray.pipelines.crawl import CrawlRun
+
+def _crawl_run_dir(sf_dir: str) -> str:
+    """One crawl per sf_dir per process — the three crawl queries share
+    it (deterministic output; saves the driver two redundant crawls)."""
+    run_dir = _CRAWL_RUN_CACHE.get(sf_dir)
+    if run_dir is None:
+        import tempfile
+
+        from vat_abcd_crawler_ray.pipelines.crawl import CrawlRun
+
+        d = _corpus(sf_dir)
+        run_dir = tempfile.mkdtemp(prefix="vat_ray_q_")
+        CrawlRun(
+            os.path.join(d, "pages.parquet"),
+            os.path.join(d, "seeds.parquet"),
+            os.path.join(d, "politeness.parquet"),
+            run_dir,
+        ).run()
+        _CRAWL_RUN_CACHE[sf_dir] = run_dir
+    return run_dir
+
+
+def _q_crawl_flagship(sf_dir: str):
     from vat_abcd_crawler_ray.pipelines.tables import datasets_table
 
-    d = _corpus(sf_dir)
-    run_dir = tempfile.mkdtemp(prefix="vat_ray_q_")
-    CrawlRun(
-        os.path.join(d, "pages.parquet"),
-        os.path.join(d, "seeds.parquet"),
-        os.path.join(d, "politeness.parquet"),
-        run_dir,
-    ).run()
-    return datasets_table(run_dir).select_columns(
+    return datasets_table(_crawl_run_dir(sf_dir)).select_columns(
         ["surrogate", "dataset_id", "dataset_landing_page", "dataset_provider"]
     )
 
 
 def _q_crawl_listing(sf_dir: str):
-    import tempfile
-
-    from vat_abcd_crawler_ray.pipelines.crawl import CrawlRun
     from vat_abcd_crawler_ray.pipelines.tables import listing_table
 
-    d = _corpus(sf_dir)
-    run_dir = tempfile.mkdtemp(prefix="vat_ray_l_")
-    CrawlRun(
-        os.path.join(d, "pages.parquet"),
-        os.path.join(d, "seeds.parquet"),
-        os.path.join(d, "politeness.parquet"),
-        run_dir,
-    ).run()
-    return listing_table(run_dir)
+    return listing_table(_crawl_run_dir(sf_dir))
 
 
 def _q_crawl_errors(sf_dir: str):
     """Dead-letter table of a crawl run (C2 soft errors as data)."""
-    import tempfile
-
-    from vat_abcd_crawler_ray.pipelines.crawl import CrawlRun
     from vat_abcd_crawler_ray.pipelines.tables import errors_table
 
-    d = _corpus(sf_dir)
-    run_dir = tempfile.mkdtemp(prefix="vat_ray_e_")
-    CrawlRun(
-        os.path.join(d, "pages.parquet"),
-        os.path.join(d, "seeds.parquet"),
-        os.path.join(d, "politeness.parquet"),
-        run_dir,
-    ).run()
-    return errors_table(run_dir)
+    return errors_table(_crawl_run_dir(sf_dir))
 
 
 def _q_dedup_minhash(sf_dir: str):

@@ -29,9 +29,7 @@ class CrawlConfig:
     num_page_shards: int = 16  # simulated-network page store shards
     max_rounds: int = 64
     default_host_budget: int = 8  # max fetches per host per round
-    salt_buckets: int = 16  # mega-host split factor for selection
-    salt_threshold: int = 4096  # frontier rows per host before salting
-    fetch_isin_limit: int = 2_000_000  # above this, fetch joins by bucket
+    salt_buckets: int = 16  # mega-host split factor (distributed select)
     link_cap_per_page: int = 64
     batch_size: int = 256  # pages per extract batch (wide binary rows)
 
