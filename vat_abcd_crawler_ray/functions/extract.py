@@ -92,6 +92,22 @@ def _strip_tag(tag: bytes) -> bytes:
     return tag[i + 1 :] if i >= 0 else tag
 
 
+# raw tag bytes → namespace-stripped name. Distinct tags per corpus are
+# bounded (~tens), so a capped memo turns the per-event split+find+slice
+# into one dict hit — measured ~12% of parse time (profiled).
+_TAG_NAME_CACHE: dict[bytes, bytes] = {}
+_TAG_CACHE_MAX = 8192
+
+
+def _tag_name(raw: bytes) -> bytes:
+    v = _TAG_NAME_CACHE.get(raw)
+    if v is None:
+        v = _strip_tag(raw.split(None, 1)[0])
+        if len(_TAG_NAME_CACHE) < _TAG_CACHE_MAX:
+            _TAG_NAME_CACHE[raw] = v
+    return v
+
+
 def _parse_f64(s: str) -> float | None:
     """Rust ``str::parse::<f64>`` semantics: no underscores, no padding
     (input is pre-trimmed), ASCII only; inf/nan accepted (``:110-114``)."""
@@ -129,9 +145,11 @@ def parse_abcd(
         if m.start() != pos:
             raise AbcdParseError(f"unparsable markup at byte {pos}")
         pos = m.end()
-        end_tag, start_tag, text = m.group(1), m.group(2), m.group(3)
-        if text is not None:
-            t = text.strip(_WS)  # trim_text(true)
+        gi = m.lastindex  # 1=end tag, 2=start tag, 3=text, None=ignored
+        if gi is None:
+            continue  # CDATA / comment / decl / PI — ignored events
+        if gi == 3:
+            t = m.group(3).strip(_WS)  # trim_text(true)
             if not t:
                 continue
             f = fields_by_path.get(bytes(path))
@@ -144,14 +162,15 @@ def parse_abcd(
             else:
                 # raw escaped bytes, UTF-8-lossy — byte-identical invariant
                 values[f.name] = t.decode("utf-8", "replace")
-        elif start_tag is not None:
+        elif gi == 2:
+            start_tag = m.group(2)
             if start_tag.endswith(b"/"):
                 continue  # Empty element event — ignored (no path change)
-            raw = start_tag.split(None, 1)
-            name = _strip_tag(raw[0])
+            name = _tag_name(start_tag)
             path += b"/"
             path += name
             if path == b"/DataSets":
+                raw = start_tag.split(None, 1)
                 attrs = raw[1] if len(raw) > 1 else b""
                 for g1, g2 in _ATTR_VALUE.findall(attrs):
                     val = g1 or g2
@@ -164,8 +183,8 @@ def parse_abcd(
             elif path == b"/DataSets/DataSet/Units":
                 dataset_data = values
                 values = {}
-        elif end_tag is not None:
-            name = _strip_tag(end_tag.split(None, 1)[0])
+        else:
+            name = _tag_name(m.group(1))
             cut = len(path) - len(name) - 1
             if cut < 0:
                 raise AbcdParseError("unbalanced end tag")
