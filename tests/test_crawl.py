@@ -111,6 +111,20 @@ class TestCrawl:
         pd.testing.assert_frame_equal(f1, f2)
         assert md.fetched == mx.fetched
 
+    def test_driver_vs_distributed_bootstrap(self, corpus, tmp_path):
+        """The streaming seed bootstrap (groupby-min + join + sort +
+        dense numbering, no driver DataFrame) must produce the same
+        run as the driver-side pandas bootstrap."""
+        rd_ = _mk_run(corpus, tmp_path / "drv", bootstrap_mode="driver")
+        md = rd_.run()
+        rx = _mk_run(corpus, tmp_path / "dist", bootstrap_mode="distributed")
+        mx = rx.run()
+        pd.testing.assert_frame_equal(_seen_table(rd_), _seen_table(rx))
+        pd.testing.assert_frame_equal(
+            _fetch_log(tmp_path / "drv"), _fetch_log(tmp_path / "dist")
+        )
+        assert md.as_dict() == mx.as_dict()
+
     def test_kill_and_resume(self, corpus, tmp_path):
         # full run = ground truth
         full_dir = tmp_path / "full"

@@ -56,6 +56,12 @@ def _compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> None:
     g, w = _norm(got), _norm(want)
     for col in g.columns:
         gv, wv = g[col], w[col]
+        # dtype discipline: a float column where the oracle has ints (or
+        # vice versa) is a value-hash mismatch at the driver even when
+        # the numbers compare equal — fail it here too (round-1
+        # q_hash_join escaped locally exactly this way).
+        assert (gv.dtype.kind == "f") == (wv.dtype.kind == "f"), (
+            name, col, gv.dtype, wv.dtype)
         if gv.dtype.kind == "f" or wv.dtype.kind == "f":
             ga = gv.to_numpy(dtype=np.float64, na_value=np.nan)
             wa = wv.to_numpy(dtype=np.float64, na_value=np.nan)

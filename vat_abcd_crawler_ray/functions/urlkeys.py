@@ -126,8 +126,8 @@ def canonicalize_url(url: str) -> str:
     port = _DEFAULT_PORTS.get(scheme)
     if port and host.endswith(port):
         host = host[: -len(port)]
-    if "?" not in rest:
-        rest = rest.rstrip("/")
+    if "?" not in rest and rest.endswith("/"):
+        rest = rest[:-1]  # a SINGLE trailing slash, per the contract above
     return f"{scheme}://{host}{rest}"
 
 

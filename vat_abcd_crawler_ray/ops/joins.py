@@ -128,10 +128,25 @@ def bucket_hash_join(
 
     lval = [c for c in lcols if c not in on_cols]
     rval = [c for c in rcols if c not in on_cols]
+    out_schema = pa.schema(
+        [(c, all_cols[c]) for c in on_cols + lval + rval]
+    )
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["__side"] == 0][on_cols + lval]
-        r = group[group["__side"] == 1][on_cols + rval]
-        return l.merge(r, on=on_cols, how=how)
+    def merge(group: pa.Table) -> pa.Table:
+        # Split the sides in ARROW before any pandas conversion: the
+        # null-padding from _tag_and_pad lives only in the OTHER side's
+        # columns, so selecting each side's own columns first keeps int
+        # columns free of NaN (a whole-group to_pandas silently promoted
+        # them to float64 — the round-1 q_hash_join hash mismatch).
+        import pyarrow.compute as pc
 
-    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+        lmask = pc.equal(group["__side"], 0)
+        l = group.filter(lmask).select(on_cols + lval).to_pandas()
+        r = group.filter(pc.invert(lmask)).select(on_cols + rval).to_pandas()
+        merged = l.merge(r, on=on_cols, how=how)
+        # cast back to the recorded Arrow types — a left join may still
+        # introduce genuine NULLs in right-side columns (float64/NaN in
+        # pandas); from_pandas + explicit schema restores them as nulls.
+        return pa.Table.from_pandas(merged, schema=out_schema, preserve_index=False)
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")

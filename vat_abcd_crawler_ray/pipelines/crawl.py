@@ -79,6 +79,19 @@ def keyed_frontier_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _count_parquet_rows(path: str) -> int:
+    """Row count of a parquet file or every parquet file under a
+    directory — footer metadata only, no data pages read."""
+    if os.path.isfile(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    return sum(
+        pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
 def _read_parquet_dir(d: str, columns: list[str] | None = None) -> pd.DataFrame:
     parts = []
     for root, _dirs, files in os.walk(d):
@@ -88,6 +101,32 @@ def _read_parquet_dir(d: str, columns: list[str] | None = None) -> pd.DataFrame:
     if not parts:
         return pd.DataFrame(columns=columns or [])
     return pa.concat_tables(parts, promote_options="default").to_pandas()
+
+
+@ray.remote(num_cpus=0.5)
+def _project_round_block(t: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """Per-block round projection, run REMOTELY next to the pinned
+    extracted block: returns only (fetched-url table, discovered-link
+    table) — the driver never receives the 36 field columns or the
+    text. On a multi-node cluster this keeps the per-round driver
+    traffic proportional to the LINK volume, not the extracted volume.
+    """
+    got_mask = pc.is_in(
+        t["record_type"], value_set=pa.array(["dataset", RECORD_ERROR])
+    )
+    got = t.filter(got_mask).select(["url"])
+    lt = t.filter(pc.equal(t["record_type"], "link"))
+    links = pa.table(
+        {
+            "link_url": lt["link_url"],
+            "seq": lt["seq"],
+            "link_idx": lt["link_idx"],
+            "canonical_url": lt["link_canonical"],
+            "key": lt["link_key"],
+            "host": lt["link_host"],
+        }
+    )
+    return got, links
 
 
 @dataclass
@@ -119,6 +158,7 @@ class CrawlRun:
         settings: Settings | None = None,
         select_mode: str = "auto",  # auto | driver | distributed
         fetch_mode: str = "store",  # store | scan
+        bootstrap_mode: str = "auto",  # auto | driver | distributed
     ):
         self.pages_path = pages_path
         self.seeds_path = seeds_path
@@ -126,6 +166,7 @@ class CrawlRun:
         self.run_dir = run_dir
         self.select_mode = select_mode
         self.fetch_mode = fetch_mode
+        self.bootstrap_mode = bootstrap_mode
         self._page_store = None
         self.manifest = RunManifest(run_dir)
         cc = self.settings.crawl
@@ -163,11 +204,31 @@ class CrawlRun:
 
         Admission order = seed ``seq`` (catalog order in the reference,
         ``search_result.rs:88-111``; dense numbering
-        ``surrogate_key.rs:16-41``)."""
+        ``surrogate_key.rs:16-41``).
+
+        Two equivalent implementations (tested identical, like
+        selection): **driver** (vectorized pandas; fastest for seed
+        lists that fit one machine) and **distributed** (the 10^10-URL
+        scale path: groupby-min + hash join + global sort as Dataset
+        ops; no full-seed driver DataFrame anywhere). ``auto`` switches
+        on the seed row count; the C1 debug window is driver-only by
+        definition (it is a bounded debug knob)."""
+        mode = self.bootstrap_mode
+        if mode == "auto":
+            mode = (
+                "distributed"
+                if _count_parquet_rows(self.seeds_path) > 2_000_000
+                else "driver"
+            )
+        if self.settings.debug:
+            mode = "driver"
+        if mode == "distributed":
+            self._bootstrap_distributed()
+            return
         seeds = ray.data.read_parquet(self.seeds_path).map_batches(
             keyed_frontier_batch, batch_format="pyarrow"
         )
-        sdf = seeds.to_pandas()  # the seed list is driver-bounded
+        sdf = seeds.to_pandas()  # driver mode: the seed list fits here
         # C1 debug window: skip(dataset_start).take(dataset_limit), only
         # when debug is on (/root/reference/src/main.rs:154-169)
         if self.settings.debug:
@@ -177,10 +238,66 @@ class CrawlRun:
             sdf = sdf.iloc[start : start + limit if limit else None]
         self.seen.offer_batch(sdf["key"].to_numpy(), sdf["seq"].to_numpy())
         admitted = self.seen.commit_round().to_pandas()
+        # next_seq counts ALL seeds (pre-dedup max), matching the
+        # sequential reference's `max(s['seq'] for s in seeds) + 1` even
+        # when the highest-seq seed is a non-canonical duplicate form
+        self.next_seq = int(sdf["seq"].max()) + 1 if len(sdf) else 0
         sdf = sdf.sort_values("seq", kind="mergesort").drop_duplicates("key")
         frontier = sdf.merge(admitted[["key", "surrogate"]], on="key", how="inner")
-        self.next_seq = int(sdf["seq"].max()) + 1 if len(sdf) else 0
         self._write_frontier(frontier[FRONTIER_COLS], 0, "seeds")
+
+    def _bootstrap_distributed(self) -> None:
+        """Streaming round-0 admission, no driver materialization:
+
+        1. ``groupby(key).min(seq)`` — first-wins per canonical key
+           (ONE key shuffle);
+        2. hash-join the winners back to their full seed rows on
+           ``(key, seq)`` (seqs are unique, so exactly one row/key);
+        3. global ``sort(seq)`` + per-block dense numbering
+           (zip_with_index) — surrogates 1..N in first-seq order,
+           identical to the sequential reference;
+        4. Dataset ``write_parquet`` into the round-0 frontier dir;
+        5. seen-set load: each frontier BLOCK is shipped once to the
+           object store and every shard actor filters its own keys
+           (``assign_block``) — driver traffic is O(num_blocks) refs.
+        """
+        from ray.data.aggregate import Min
+
+        from ..ops.zip_with_index import zip_with_index
+
+        seeds = (
+            ray.data.read_parquet(self.seeds_path)
+            .map_batches(keyed_frontier_batch, batch_format="pyarrow")
+            .materialize()  # consumed 3×: max, groupby, join probe
+        )
+        if seeds.count() == 0:
+            return
+        self.next_seq = int(seeds.max("seq")) + 1
+        firsts = seeds.groupby("key").aggregate(Min("seq", alias_name="first_seq"))
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        reps = seeds.join(
+            firsts,
+            join_type="inner",
+            num_partitions=max(2, ncpu),
+            on=("key", "seq"),
+            right_on=("key", "first_seq"),
+        )
+        frontier = (
+            zip_with_index(reps.sort("seq"), "surrogate", start=1)
+            .select_columns(FRONTIER_COLS)
+            .materialize()
+        )
+        os.makedirs(self.frontier_dir(0), exist_ok=True)
+        frontier.write_parquet(self.frontier_dir(0))
+        futs = []
+        for bundle in frontier.iter_internal_ref_bundles():
+            for block_ref in bundle.block_refs:
+                for shard in self.seen.shards:
+                    futs.append(
+                        shard.assign_block.remote(block_ref, self.seen.num_shards)
+                    )
+        ray.get(futs)
+        self.seen.next_surrogate = 1 + frontier.count()
 
     def _write_frontier(self, df: pd.DataFrame, rnd: int, tag: str) -> None:
         if df.empty:
@@ -222,7 +339,7 @@ class CrawlRun:
         winners_mask = (rank < budget).to_numpy()
         return ordered[winners_mask], ordered[~winners_mask], n_denied
 
-    def _select_distributed(self, rnd: int):
+    def _select_distributed(self, rnd: int, n_front: int):
         """Scale path: salted two-stage per-host top-k over the frontier
         as a Dataset; the full frontier is read and written exactly once.
 
@@ -275,10 +392,15 @@ class CrawlRun:
         marked.drop_columns(["__salt"]).write_parquet(
             sel_dir, partition_cols=["cand"]
         )
+        # robots-denied rows are exactly the frontier rows that
+        # robots_and_salt dropped: frontier size minus what was written
+        # (both counts are footer metadata — no extra pass, and the two
+        # selection modes now report identical metrics)
+        n_denied = n_front - _count_parquet_rows(sel_dir)
 
         cand_df = _read_parquet_dir(os.path.join(sel_dir, "cand=true"))
         if cand_df.empty:
-            return cand_df, os.path.join(sel_dir, "cand=false"), 0
+            return cand_df, os.path.join(sel_dir, "cand=false"), n_denied
 
         # stage 2: exact per-host top-budget over the candidate superset
         ordered = cand_df.sort_values(
@@ -300,7 +422,7 @@ class CrawlRun:
                 ),
                 os.path.join(dd, "demoted.parquet"),
             )
-        return winners, os.path.join(sel_dir, "cand=false"), 0
+        return winners, os.path.join(sel_dir, "cand=false"), n_denied
 
     # ---------------- fetch ----------------
     def _fetch(self, winners: pd.DataFrame, rnd: int) -> "ray.data.Dataset":
@@ -374,28 +496,21 @@ class CrawlRun:
         shutil.rmtree(self._p("select", f"round={rnd}"), ignore_errors=True)
         shutil.rmtree(self.frontier_dir(rnd + 1), ignore_errors=True)
 
+        n_front = _count_parquet_rows(fdir)
         mode = self.select_mode
         if mode == "auto":
-            n_frontier = sum(
-                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-                for root, _d, files in os.walk(fdir)
-                for f in files
-                if f.endswith(".parquet")
-            )
-            mode = "distributed" if n_frontier > 2_000_000 else "driver"
+            mode = "distributed" if n_front > 2_000_000 else "driver"
 
         deferred_path = None
         if mode == "driver":
             frontier = _read_parquet_dir(fdir)
             if frontier.empty:
                 return False
-            n_front = len(frontier)
             winners, deferred, n_denied = self._select_driver(frontier)
             self.metrics.robots_denied += n_denied
         else:
-            winners, deferred_path, n_denied = self._select_distributed(rnd)
+            winners, deferred_path, n_denied = self._select_distributed(rnd, n_front)
             deferred = None
-            n_front = None
             self.metrics.robots_denied += n_denied
             if winners.empty and not os.path.isdir(deferred_path):
                 return False
@@ -417,39 +532,28 @@ class CrawlRun:
             ).materialize()
             extracted.write_parquet(out_dir, partition_cols=["record_type"])
 
-            # driver-side projections straight off the pinned blocks
-            # (zero extra Ray executions — each execution's flat startup
-            # cost was a measured per-round tax; link keying already
-            # happened inside the parse tasks)
-            proj_cols = [
-                "record_type", "url", "seq",
-                "link_url", "link_idx", "link_canonical", "link_key", "link_host",
-            ]
+            # Remote per-block projections straight off the pinned
+            # blocks: plain Ray tasks (no second Dataset execution —
+            # each execution's flat startup cost was a measured
+            # per-round tax), and the driver receives ONLY the small
+            # (url, link) projections, never the full extracted blocks.
             blocks = []
             for bundle in extracted.iter_internal_ref_bundles():
                 for block_ref in bundle.block_refs:
                     blocks.append(block_ref)
-            tbls = [t.select(proj_cols) for t in ray.get(blocks) if t.num_rows]
-            if tbls:
-                allt = pa.concat_tables(tbls)
-                got_mask = pc.is_in(
-                    allt["record_type"],
-                    value_set=pa.array(["dataset", RECORD_ERROR]),
-                )
-                got = set(allt.filter(got_mask)["url"].to_pylist())
-                lt = allt.filter(pc.equal(allt["record_type"], "link"))
-                links = pa.table(
-                    {
-                        "link_url": lt["link_url"],
-                        "seq": lt["seq"],
-                        "link_idx": lt["link_idx"],
-                        "canonical_url": lt["link_canonical"],
-                        "key": lt["link_key"],
-                        "host": lt["link_host"],
-                    }
-                ).to_pandas()
-            else:
-                got, links = set(), pd.DataFrame()
+            parts = ray.get([_project_round_block.remote(b) for b in blocks])
+            got_tbls = [g for g, _l in parts if g.num_rows]
+            link_tbls = [l for _g, l in parts if l.num_rows]
+            got = (
+                set(pa.concat_tables(got_tbls)["url"].to_pylist())
+                if got_tbls
+                else set()
+            )
+            links = (
+                pa.concat_tables(link_tbls).to_pandas()
+                if link_tbls
+                else pd.DataFrame()
+            )
 
             miss = winners[~winners["canonical_url"].isin(got)]
             n_miss = len(miss)
@@ -550,7 +654,7 @@ class CrawlRun:
         self.metrics.per_round.append(
             {
                 "round": rnd,
-                "frontier": int(n_front) if n_front is not None else None,
+                "frontier": int(n_front),
                 "selected": int(len(winners)),
                 "fetched": int(n_fetched),
                 "misses": int(n_miss),

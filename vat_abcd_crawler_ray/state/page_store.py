@@ -80,12 +80,22 @@ class PageStore:
             files = [pages_path]
         num_shards = min(num_shards, len(files))
         self.num_shards = num_shards
-        # file-start boundaries from the footers (urls sorted globally)
+        # File-start boundaries from the FIRST ROW of each file (one
+        # tiny batch per file), not footer statistics — parquet writers
+        # may truncate string min/max stats, which would silently
+        # misroute lookups. Routing also requires a globally url-sorted
+        # corpus; validate the invariant here and fail loudly instead of
+        # turning present pages into FetchMiss dead-letter rows.
         starts: list[str] = []
         for f in files:
-            md = pq.ParquetFile(f).metadata
-            col_idx = md.schema.to_arrow_schema().get_field_index("url")
-            starts.append(md.row_group(0).column(col_idx).statistics.min)
+            batch = next(pq.ParquetFile(f).iter_batches(batch_size=1, columns=["url"]))
+            starts.append(batch["url"][0].as_py())
+        for prev, cur, f in zip(starts, starts[1:], files[1:]):
+            if not prev < cur:
+                raise ValueError(
+                    f"page store requires globally url-sorted files: "
+                    f"{f!r} starts at {cur!r} <= previous file start {prev!r}"
+                )
         self._starts = np.array(starts[1:], dtype=object)  # boundaries after file 0
         self._file_shard = np.array(
             [i % num_shards for i in range(len(files))], dtype=np.int64

@@ -110,6 +110,23 @@ class SeenSetShard:
                 self.exact[int(k)] = (int(g), int(s))
         return len(self.exact)
 
+    def assign_block(self, table: pa.Table, num_shards: int) -> int:
+        """Bulk-load pre-assigned rows from a shared Dataset block: keep
+        only this shard's keys (``key % num_shards == shard_id``) and
+        store them. Used by the distributed bootstrap — the block lives
+        once in the object store and every shard filters its own slice,
+        so no per-shard routing ever touches the driver."""
+        keys = table["key"].to_numpy()
+        mask = (keys % num_shards) == self.shard_id
+        sel = np.flatnonzero(mask)
+        if len(sel):
+            self.filter.add(keys[sel])
+            surr = table["surrogate"].to_numpy()
+            seqs = table["seq"].to_numpy()
+            for i in sel:
+                self.exact[int(keys[i])] = (int(surr[i]), int(seqs[i]))
+        return len(self.exact)
+
     def lookup(self, keys: np.ndarray) -> np.ndarray:
         """surrogate per key, -1 if unseen."""
         return np.fromiter(
