@@ -686,6 +686,41 @@ def _q_crawl_errors(sf_dir: str):
     return errors_table(_crawl_run_dir(sf_dir))
 
 
+def _q_crawl_units(sf_dir: str):
+    """The units output of a crawl run (J1 parent-key propagation +
+    M7 WKT geometry), projected onto stable column names."""
+    from vat_abcd_crawler_ray.pipelines.crawl import extracted_dataset
+
+    ds = extracted_dataset(_crawl_run_dir(sf_dir), "unit")
+    cols = {
+        "surrogate": "surrogate",
+        UNIT_ID: "unit_id",
+        SPECIES: "species",
+        LON: "lon",
+        LAT: "lat",
+        "geom_wkt": "geom_wkt",
+    }
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({out: t[src] for src, out in cols.items()})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_crawl_fk_orphans(sf_dir: str):
+    """W4 FK constraint check: (total units, orphan units) — a correct
+    run reports 0 orphans; the oracle also verifies the unit total."""
+    from vat_abcd_crawler_ray.pipelines.crawl import extracted_dataset
+    from vat_abcd_crawler_ray.pipelines.tables import fk_orphan_units
+
+    run = _crawl_run_dir(sf_dir)
+    n_units = extracted_dataset(run, "unit").count()
+    n_orphans = fk_orphan_units(run).count()
+    return pd.DataFrame(
+        {"n_units": [np.int64(n_units)], "n_orphans": [np.int64(n_orphans)]}
+    )
+
+
 def _q_dedup_minhash(sf_dir: str):
     from vat_abcd_crawler_ray.pipelines.dedup import minhash_lsh_dedup
 
@@ -720,7 +755,10 @@ def _q_knn_lsh(sf_dir: str):
     queries = pd.DataFrame(
         {"query_id": qdf["vec_id"], "vector": qdf["embedding"].tolist()}
     )
-    return knn_lsh(emb, queries, k=5, n_bits=4).select_columns(
+    # axis projection: deterministic sign-LSH that the DuckDB oracle
+    # reproduces exactly (sign of embedding[j]); the random-projection
+    # path is covered by the recall test in tests/test_similarity.py
+    return knn_lsh(emb, queries, k=5, n_bits=4, projection="axis").select_columns(
         ["query_id", "neighbor_id"]
     )
 
@@ -792,6 +830,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_crawl_flagship": _q_crawl_flagship,
         "q_crawl_listing": _q_crawl_listing,
         "q_crawl_errors": _q_crawl_errors,
+        "q_crawl_units": _q_crawl_units,
+        "q_crawl_fk_orphans": _q_crawl_fk_orphans,
         # training-data ops
         "q_dedup_exact_prefix": _q_dedup_exact_prefix,
         "q_ngram_overlap": _q_ngram_overlap,
@@ -819,6 +859,54 @@ _STOP_DE = "'der','die','das','und','ist','nicht','ein','eine','mit','von','zu',
 _STOP_FR = "'le','la','les','et','de','des','un','une','est','dans','pour','que','sur','au'"
 
 _PUNCT_RE = "[!-/:-@\\[-`{-~]"
+
+
+def _crawl_oracle_sql(table: str, cols: str) -> str:
+    """Oracle SQL for the crawl trio.
+
+    The multi-round frontier crawl (per-host budgets, robots, link
+    admission with dense seq/surrogate numbering) is an iterative
+    fixpoint — not expressible as one ANSI query over the input tables.
+    The oracle is therefore the INDEPENDENT sequential simulator
+    (vat_abcd_crawler_ray/oracle/seqcrawl.py: straight-line Python,
+    no Ray, no shared logic with pipelines/crawl.py), whose output
+    tables are materialized as parquet once per corpus; this SQL simply
+    reads them. Because the driver fixes the sf dir only at run time,
+    the statement carries one branch per known sf dir, gated on a
+    content discriminator of the registered ``documents`` view.
+    """
+    return _crawl_oracle_branches(
+        lambda exp: f"SELECT {cols} FROM read_parquet('{exp}/{table}.parquet')"
+    )
+
+
+def _crawl_oracle_branches(select_for_exp) -> str:
+    """See :func:`_crawl_oracle_sql`. ``select_for_exp(exp_dir)`` builds
+    the per-branch SELECT; each branch is gated on a content
+    discriminator of the registered ``documents`` view so the one
+    statement is valid for every known sf dir."""
+    import duckdb
+
+    from vat_abcd_crawler_ray.oracle.seqcrawl import expected_tables_dir
+
+    branches = []
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        if not os.path.exists(_t(sf, "documents")):
+            continue
+        exp = expected_tables_dir(sf)
+        disc = duckdb.sql(
+            f"SELECT CAST(sum(n_chars) AS BIGINT) || '_' || count(*) "
+            f"FROM read_parquet('{_t(sf, 'documents')}')"
+        ).fetchone()[0]
+        branches.append(
+            f"{select_for_exp(exp)}\n"
+            f"WHERE (SELECT CAST(sum(n_chars) AS BIGINT) || '_' || count(*) "
+            f"FROM documents) = '{disc}'"
+        )
+    header = ("-- oracle = independent sequential crawl simulator "
+              "(vat_abcd_crawler_ray/oracle/seqcrawl.py)\n")
+    return header + "\nUNION ALL\n".join(branches)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -997,6 +1085,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY first_seq) AS BIGINT) AS surrogate
             FROM firsts
         """,
+        "q_crawl_flagship": _crawl_oracle_sql(
+            "datasets",
+            "surrogate, dataset_id, dataset_landing_page, dataset_provider",
+        ),
+        "q_crawl_listing": _crawl_oracle_sql(
+            "listing",
+            'link, dataset, id, provider, available, "isGeoReferenced"',
+        ),
+        "q_crawl_errors": _crawl_oracle_sql(
+            "errors",
+            "url, surrogate, seq, round, error_kind, error_message",
+        ),
+        "q_crawl_units": _crawl_oracle_sql(
+            "units",
+            "surrogate, unit_id, species, lon, lat, geom_wkt",
+        ),
+        "q_crawl_fk_orphans": _crawl_oracle_branches(
+            lambda exp: (
+                f"SELECT CAST((SELECT count(*) FROM "
+                f"read_parquet('{exp}/units.parquet')) AS BIGINT) AS n_units, "
+                f"CAST((SELECT count(*) FROM "
+                f"read_parquet('{exp}/units.parquet') u WHERE NOT EXISTS ("
+                f"SELECT 1 FROM read_parquet('{exp}/datasets.parquet') d "
+                f"WHERE d.surrogate = u.surrogate)) AS BIGINT) AS n_orphans"
+            )
+        ),
         "q_dedup_exact_prefix": """
             SELECT d.* FROM documents d
             JOIN (SELECT substr(text, 1, 10) AS k, min(doc_id) AS m
@@ -1075,12 +1189,48 @@ def oracle_sql() -> dict[str, str]:
                         WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS lang_pred
             FROM c
         """,
+        "q_fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(regexp_extract_all(text, '\\S+'),
+                         t -> list_reduce(
+                                list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(str_split(t, ''),
+                                                 c -> CAST(ascii(c) AS BIGINT))),
+                                (a, b) -> (a * 257 + b) % 2147483647)
+                       )),
+                     (a, b) -> (a * 1000003 + b) % 2147483647) AS fp
+            FROM documents
+        """,
         "q_embed_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.35
+        """,
+        "q_knn_lsh": """
+            WITH b AS (
+              SELECT vec_id, embedding,
+                     (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                   + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                   + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+              FROM embeddings
+            ),
+            q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+                  FROM b WHERE vec_id < 5),
+            s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])) AS cos
+                  FROM q JOIN b e ON e.bucket = q.bucket
+                  WHERE e.vec_id <> q.query_id),
+            r AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbor_id) AS rn
+                  FROM s)
+            SELECT query_id, neighbor_id FROM r WHERE rn <= 5
         """,
         "q_knn": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

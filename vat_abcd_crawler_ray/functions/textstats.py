@@ -94,20 +94,65 @@ def langid(texts: pd.Series) -> list[str]:
     return out
 
 
-def fingerprint(texts: pd.Series) -> np.ndarray:
-    """64-bit rolling (FNV-1a token-chain) document fingerprint:
-    order-sensitive, whitespace-normalized, process-independent (token
-    hash = murmur3_64, never Python's randomized ``hash``). Non-SQL
-    (rows-only oracle)."""
-    from .urlkeys import murmur3_64
+# Rolling-hash fingerprint parameters: Mersenne prime modulus keeps
+# every intermediate inside int64 on BOTH sides (numpy here, BIGINT in
+# the DuckDB oracle — uint64-wraparound hashes are not SQL-expressible,
+# which is why round 1's FNV variant had no oracle).
+_FP_P = 2147483647  # 2^31 - 1
+_FP_B = 1000003  # token-chain base
+_FP_CB = 257  # char-chain base
 
-    mask = (1 << 64) - 1
-    base = 1099511628211
-    offset = 14695981039346656037
-    out = np.empty(len(texts), dtype=np.uint64)
+_FP_POWS: dict[int, np.ndarray] = {}
+_TOK_FP_CACHE: dict[str, int] = {}
+
+
+def _fp_powers(base: int, n: int) -> np.ndarray:
+    """[base^0, …, base^(n-1)] mod P, grown on demand and cached."""
+    pw = _FP_POWS.get(base)
+    if pw is None or len(pw) < n:
+        size = max(n, 1024 if pw is None else 2 * len(pw))
+        out = np.empty(size, dtype=np.int64)
+        out[0] = 1
+        for i in range(1, size):
+            out[i] = (out[i - 1] * base) % _FP_P
+        _FP_POWS[base] = pw = out
+    return pw
+
+
+def _poly_fold(vals: np.ndarray, base: int) -> int:
+    """fold(a, x → (a*base + x) mod P) over ``vals`` starting at 0 —
+    evaluated vectorized as Σ vals[j]·base^(m-1-j) mod P."""
+    m = len(vals)
+    if m == 0:
+        return 0
+    pw = _fp_powers(base, m)[:m][::-1]
+    return int((vals * pw % _FP_P).sum() % _FP_P)
+
+
+def _tok_fp(tok: str) -> int:
+    h = _TOK_FP_CACHE.get(tok)
+    if h is None:
+        cp = np.frombuffer(tok.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        h = _poly_fold(cp, _FP_CB)
+        if len(_TOK_FP_CACHE) > 1_000_000:  # bound worker memory
+            _TOK_FP_CACHE.clear()
+        _TOK_FP_CACHE[tok] = h
+    return h
+
+
+def fingerprint(texts: pd.Series) -> np.ndarray:
+    """Order-sensitive rolling document fingerprint: each whitespace
+    token is char-chain hashed (base 257 mod 2^31-1, Unicode code
+    points), then the token hashes are chained (base 1000003 mod
+    2^31-1). Whitespace-amount-insensitive, order-sensitive,
+    process-independent. Exactly reproducible in SQL via nested
+    ``list_reduce`` (see ``__ray_entry__.oracle_sql['q_fingerprint']``).
+    Vectorized: code points via utf-32 reinterpret, folds via
+    power-vector dot products; distinct-token cache across batches."""
+    out = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        h = offset
-        for tok in _TOKEN.findall(t):
-            h = ((h ^ (murmur3_64(tok) & mask)) * base) & mask
-        out[i] = h
-    return out.view(np.int64)
+        toks = _TOKEN.findall(t)
+        v = np.fromiter((_tok_fp(tok) for tok in toks), dtype=np.int64,
+                        count=len(toks))
+        out[i] = _poly_fold(v, _FP_B)
+    return out

@@ -82,7 +82,18 @@ def knn_bruteforce(
     )
 
 
-def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+def _hyperplanes(
+    dim: int, n_bits: int, seed: int = 42, projection: str = "random"
+) -> np.ndarray:
+    """``random``: Gaussian hyperplanes (the classic sign-LSH).
+    ``axis``: hyperplane j = coordinate axis e_j — deterministic and
+    exactly reproducible in SQL (sign of ``embedding[j]``), used by the
+    oracle-gated configuration; equivalent to random projections when
+    the embedding basis is itself unstructured."""
+    if projection == "axis":
+        if n_bits > dim:
+            raise ValueError(f"axis projection needs n_bits <= dim ({n_bits} > {dim})")
+        return np.eye(n_bits, dim)
     rng = np.random.RandomState(seed)
     return rng.normal(size=(n_bits, dim))
 
@@ -104,12 +115,13 @@ def knn_lsh(
     query_id_col: str = "query_id",
     seed: int = 42,
     exclude_self: bool = True,
+    projection: str = "random",
 ) -> "ray.data.Dataset":
     """Approximate top-k: corpus rows hash to 2^n_bits sign-LSH buckets;
     each query is answered from its own bucket only. One groupby
     shuffle on the bucket id; within-bucket exact cosine."""
     dim = len(queries["vector"].iloc[0])
-    planes = _hyperplanes(dim, n_bits, seed)
+    planes = _hyperplanes(dim, n_bits, seed, projection)
     qm = _normalize(_as_matrix(queries["vector"]))
     qids = queries[query_id_col].to_numpy()
     q_buckets = lsh_bucket_ids(qm, planes)
@@ -125,7 +137,13 @@ def knn_lsh(
         b = group["__bucket"].iloc[0]
         sel = np.flatnonzero(qb_ == b)
         if len(sel) == 0:
-            return pd.DataFrame({query_id_col: [], "neighbor_id": [], "cos": []})
+            return pd.DataFrame(
+                {
+                    query_id_col: pd.Series(dtype=np.int64),
+                    "neighbor_id": pd.Series(dtype=np.int64),
+                    "cos": pd.Series(dtype=np.float64),
+                }
+            )
         ids = group[id_col].to_numpy()
         m = _normalize(_as_matrix(group[vec_col]))
         sim = qm_[sel] @ m.T

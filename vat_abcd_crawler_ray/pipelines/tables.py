@@ -66,6 +66,27 @@ def errors_table(run_dir: str) -> "ray.data.Dataset":
     )
 
 
+def fk_orphan_units(run_dir: str) -> "ray.data.Dataset":
+    """W4 FK validation (``database_sink.rs:408-420``: the post-load
+    ``FOREIGN KEY`` constraint): unit rows whose ``surrogate`` has no
+    parent dataset row. A correct crawl returns ZERO rows — exposed as
+    a CORRECTNESS-gated query (``q_crawl_fk_orphans``).
+
+    Plan: the parent-key set is one int64 per dataset (small relative
+    to units), so it broadcasts; units stream through a vectorized
+    anti-filter — no units-side shuffle. Beyond broadcastable key
+    counts, swap in ``bucket_hash_join`` with an anti merge."""
+    from ..ops.joins import broadcast_semi_join
+
+    keys = (
+        extracted_dataset(run_dir, "dataset")
+        .select_columns(["surrogate"])
+        .unique("surrogate")
+    )
+    units = extracted_dataset(run_dir, "unit")
+    return broadcast_semi_join(units, keys, on="surrogate", anti=True)
+
+
 def translation_table(registry: FieldRegistry | None = None) -> pa.Table:
     reg = registry or FieldRegistry()
     rows = reg.translation_rows()
