@@ -185,30 +185,37 @@ def _q_semi_join_exists(sf_dir: str):
 
 
 def _q_groupby_exists_flag(sf_dir: str):
-    import ray
+    """EXISTS flag per order. The qualifying key set here is LOW
+    selectivity (most orders have a >3000 line), so broadcasting it
+    would ship O(|orders|) keys through the driver — instead the
+    distinct qualifying keys stay a Dataset (per-batch dedup →
+    ``groupby.count``) and a bucketed LEFT join attaches the flag; the
+    driver never holds a key set."""
+    from vat_abcd_crawler_ray.ops.joins import bucket_hash_join
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
 
     def high(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater(t["l_extendedprice"], pa.scalar(3000.0))).select(
-            ["l_orderkey"]
-        )
+        t = t.filter(pc.greater(t["l_extendedprice"], pa.scalar(3000.0)))
+        return pa.table({"o_orderkey": pc.unique(t["l_orderkey"])})
 
-    keys = li.map_batches(high, batch_format="pyarrow").unique("l_orderkey")
-    key_ref = ray.put(set(keys))
-
+    keys = (
+        li.map_batches(high, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .count()
+    )
     orders = _read(sf_dir, "orders", ["o_orderkey"])
+    joined = bucket_hash_join(orders, keys, on="o_orderkey", how="left")
 
-    def flag(df: pd.DataFrame) -> pd.DataFrame:
-        ks = ray.get(key_ref)
-        return pd.DataFrame(
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "o_orderkey": df["o_orderkey"],
-                "high_value": df["o_orderkey"].isin(ks),
+                "o_orderkey": t["o_orderkey"],
+                "high_value": pc.is_valid(t["count()"]),
             }
         )
 
-    return orders.map_batches(flag, batch_format="pandas")
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_hash_join(sf_dir: str):
@@ -326,20 +333,32 @@ def _q_anti_join(sf_dir: str):
 def _q_multi_join_agg(sf_dir: str):
     """customer(segment) ⋉ orders ⋉ lineitem → qty per order: broadcast
     semi-joins down the chain, partial per-batch combine, small final
-    groupby — no large-side shuffle anywhere."""
+    groupby — no large-side shuffle anywhere and no driver-side read of
+    a fact table (the filtered dimension keys are the only broadcast
+    sides; ``unique`` pulls each once, bounded by the dimension)."""
     import ray
     from ray.data.aggregate import Sum
 
-    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
-    ckeys = set(cust[cust["c_mktsegment"] == "BUILDING"]["c_custkey"])
-    orders = pd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
-    okeys_ref = ray.put(set(orders[orders["o_custkey"].isin(ckeys)]["o_orderkey"]))
+    from vat_abcd_crawler_ray.ops.joins import broadcast_semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ckeys = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    ).unique("c_custkey")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "c_custkey"]),
+        batch_format="pyarrow",
+    )
+    okeys = broadcast_semi_join(orders, ckeys, on="c_custkey").unique("o_orderkey")
+    okeys_ref = ray.put(np.asarray(okeys, dtype=np.int64))
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ok = ray.get(okeys_ref)
-        df = df[df["l_orderkey"].isin(ok)]
+        df = df[df["l_orderkey"].isin(ray.get(okeys_ref))]
         g = df.groupby("l_orderkey", sort=False)["l_quantity"].sum()
         return g.reset_index(name="psum")
 
@@ -610,13 +629,20 @@ def _q_ngram_overlap(sf_dir: str):
 
 
 def _q_count_distinct(sf_dir: str):
-    """Exact distinct count via per-batch partial dedup + driver union."""
+    """Exact distinct count: per-batch partial dedup (combiner) →
+    ``groupby(key).count()`` (one key shuffle over the already-deduped
+    stream) → metadata row count. The driver holds one integer — never
+    the distinct key set (round 1 combined all keys driver-side)."""
     docs = _read(sf_dir, "documents", ["text"])
-    parts = docs.map_batches(
-        lambda df: df["text"].str[:10].drop_duplicates().to_frame("k"),
-        batch_format="pandas",
-    ).to_pandas()
-    return pd.DataFrame({"n": [np.int64(parts["k"].nunique())]})
+    distinct = (
+        docs.map_batches(
+            lambda df: df["text"].str[:10].drop_duplicates().to_frame("k"),
+            batch_format="pandas",
+        )
+        .groupby("k")
+        .count()
+    )
+    return pd.DataFrame({"n": [np.int64(distinct.count())]})
 
 
 def _q_seed_hosts(sf_dir: str):

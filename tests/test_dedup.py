@@ -95,7 +95,7 @@ class TestNearDedup:
         assert 100 not in kept and 101 not in kept
         assert 102 not in kept  # near-dup of 1 caught
         assert 0 in kept and 1 in kept
-        assert len(edges) >= 3
+        assert edges.count() >= 3
 
     def test_simhash_dedup(self):
         out = simhash_dedup(rd.from_items(_docs()), hamming_max=3).to_pandas()

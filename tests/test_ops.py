@@ -1,4 +1,5 @@
-"""Distributed operator tests: zip_with_index, joins, top-k."""
+"""Distributed operator tests: zip_with_index, joins, top-k,
+connected components."""
 
 from __future__ import annotations
 
@@ -8,7 +9,12 @@ import pytest
 
 import ray.data as rd
 
+from vat_abcd_crawler_ray.ops.components import (
+    components_dataset,
+    components_driver,
+)
 from vat_abcd_crawler_ray.ops.joins import (
+    anti_join_keys,
     broadcast_join,
     broadcast_semi_join,
     bucket_hash_join,
@@ -59,6 +65,28 @@ class TestOps:
         right = rd.from_items([{"k": f"h{i}", "r": -i} for i in range(10, 30)])
         out = bucket_hash_join(left, right, on="k", num_buckets=3).to_pandas()
         assert len(out) == 10
+
+    def test_anti_join_keys_broadcast_vs_bucketed(self):
+        big = rd.from_items([{"k": i, "v": i * 2} for i in range(40)])
+        keys = rd.from_items([{"k": i} for i in range(0, 40, 3)])
+        bc = anti_join_keys(big, keys, on="k").to_pandas()
+        bk = anti_join_keys(big, keys, on="k", broadcast_limit=0).to_pandas()
+        want = sorted(i for i in range(40) if i % 3 != 0)
+        assert sorted(bc["k"]) == want
+        assert sorted(bk["k"]) == want
+        got = bk.sort_values("k").reset_index(drop=True)
+        assert got["v"].tolist() == [2 * k for k in want]
+
+    def test_components_driver_vs_dataset(self):
+        # two chains, one star, one isolated edge — multi-iteration case
+        edges = [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11), (13, 11),
+                 (20, 21), (30, 31), (31, 32), (32, 30)]
+        df = pd.DataFrame(edges, columns=["src", "dst"])
+        drv = components_driver(df)
+        ds = components_dataset(rd.from_pandas(df).repartition(3)).to_pandas()
+        got = dict(zip(ds["node"], ds["label"]))
+        assert got == drv
+        assert got[4] == 1 and got[13] == 10 and got[21] == 20 and got[32] == 30
 
     def test_topk_per_key(self):
         rows = [

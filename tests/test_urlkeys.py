@@ -10,10 +10,28 @@ from vat_abcd_crawler_ray.functions.urlkeys import (
     canonicalize_url,
     host_of,
     murmur3_64,
+    murmur3_64_batch,
     murmur3_x64_128,
     sanitize_id,
     url_keys_batch,
 )
+
+
+@given(
+    st.lists(st.binary(max_size=300), max_size=40),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_murmur3_batch_matches_scalar(items, seed):
+    got = murmur3_64_batch(items, seed, chunk=7)  # small chunk: cover splits
+    want = np.array([murmur3_64(b, seed) for b in items], dtype=np.int64)
+    assert got.tolist() == want.tolist()
+
+
+def test_murmur3_batch_boundary_lengths():
+    items = [b"x" * n for n in (0, 1, 7, 8, 9, 15, 16, 17, 31, 32, 33, 4096)]
+    got = murmur3_64_batch(items)
+    want = [murmur3_64(b) for b in items]
+    assert got.tolist() == want
 
 
 def test_murmur3_published_vectors():

@@ -66,6 +66,43 @@ def broadcast_semi_join(
     return big.map_batches(_filter, batch_format="pyarrow")
 
 
+def anti_join_keys(
+    big: "ray.data.Dataset",
+    keys: "ray.data.Dataset",
+    on: str,
+    broadcast_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Remove rows of ``big`` whose ``on`` value appears in the
+    single-column key Dataset ``keys``.
+
+    Below ``broadcast_limit`` keys: broadcast the key set (``ray.put``
+    once) and stream ``big`` through a vectorized anti-filter — no
+    big-side shuffle. Above it: bucketed LEFT join against the flagged
+    key set, keep rows with no match — one big-side shuffle, driver
+    memory independent of the key count."""
+    n = keys.count()
+    if n <= broadcast_limit:
+        if n == 0:
+            return big
+        vals = keys.to_pandas()[on].to_numpy()
+        return broadcast_semi_join(big, vals, on=on, anti=True)
+
+    flagged = keys.map_batches(
+        lambda t: t.append_column(
+            "__hit", pa.array(np.ones(t.num_rows, dtype=np.int8))
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucket_hash_join(big, flagged, on=on, how="left")
+
+    def keep_misses(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_null(t["__hit"])).drop_columns(["__hit"])
+
+    return joined.map_batches(keep_misses, batch_format="pyarrow")
+
+
 def _tag_and_pad(
     ds: "ray.data.Dataset", side: int, all_cols: dict[str, pa.DataType]
 ) -> "ray.data.Dataset":

@@ -57,6 +57,8 @@ from ..stages.extract import ExtractStage, RECORD_ERROR
 from ..state.manifest import RunManifest
 from ..state.seen_set import ShardedSeenSet
 
+from time import perf_counter as _now
+
 FRONTIER_COLS = [
     "url",
     "canonical_url",
@@ -518,6 +520,8 @@ class CrawlRun:
         out_dir = self.extracted_dir(rnd)
         n_fetched = n_miss = 0
         links = pd.DataFrame()
+        phase_t: dict[str, float] = {}
+        t0 = _now()
         if not winners.empty:
             fetched = self._fetch(winners, rnd)
             # ONE parse execution per round, pinned via materialize();
@@ -530,7 +534,11 @@ class CrawlRun:
                 batch_format="pyarrow",
                 batch_size=cc.batch_size,
             ).materialize()
+            phase_t["extract"] = _now() - t0
+            t0 = _now()
             extracted.write_parquet(out_dir, partition_cols=["record_type"])
+            phase_t["write"] = _now() - t0
+            t0 = _now()
 
             # Remote per-block projections straight off the pinned
             # blocks: plain Ray tasks (no second Dataset execution —
@@ -554,6 +562,8 @@ class CrawlRun:
                 if link_tbls
                 else pd.DataFrame()
             )
+            phase_t["project"] = _now() - t0
+            t0 = _now()
 
             miss = winners[~winners["canonical_url"].isin(got)]
             n_miss = len(miss)
@@ -646,7 +656,10 @@ class CrawlRun:
             self._write_frontier(new_frontier[FRONTIER_COLS], rnd + 1, "links")
             has_next = True
 
+        phase_t["admission"] = _now() - t0
+        t0 = _now()
         self.seen.snapshot(self.seen_dir(rnd))
+        phase_t["snapshot"] = _now() - t0
         self.metrics.rounds = rnd + 1
         self.metrics.fetched += n_fetched
         self.metrics.fetch_misses += n_miss
@@ -659,6 +672,7 @@ class CrawlRun:
                 "fetched": int(n_fetched),
                 "misses": int(n_miss),
                 "links_admitted": int(admitted_rows),
+                "phase_sec": {k: round(v, 3) for k, v in phase_t.items()},
             }
         )
         self.manifest.commit_round(

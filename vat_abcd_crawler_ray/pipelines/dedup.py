@@ -10,15 +10,23 @@ Design (all Ray-Data-first):
   content instead of URLs. Only (key64, row) shuffles; within-group
   exact-text check guards hash collisions.
 - **minhash-LSH**: per batch shingle → k-permutation MinHash (numpy) →
-  explode to ``(band_id, band_hash, id, signature)`` rows — the fixed
-  512-byte signature travels through the shuffle, the text does NOT —
-  → groupby band bucket → candidate pairs verified by
-  signature-estimated Jaccard → connected components via min-label
-  propagation → keep min id per cluster.
+  explode to ``(bucket, id, signature)`` rows — bucket =
+  murmur3(band ‖ band-signature), the fixed 512-byte signature travels
+  through the shuffle, the text does NOT → hot-bucket prefilter →
+  ``groupby(bucket).map_groups`` star verification (signature-estimated
+  Jaccard against the min-id representative, REMOTE — the round-1
+  driver candidate pull is gone) → connected components
+  (ops/components.py: driver loop for sparse edge sets, iterated
+  Dataset min-label joins at scale) → duplicate keys removed via
+  ``ops.joins.anti_join_keys`` (broadcast below a size gate, bucketed
+  left-anti join above it).
 - **ngram-jaccard**: exact word-n-gram Jaccard verification for a
   given candidate pair set (the precise second pass).
-- **simhash**: 64-bit token simhash; near-dup = Hamming ≤ r with
-  4×16-bit band blocking (pigeonhole: distance ≤ 3 ⇒ one band equal).
+- **simhash**: 64-bit token simhash — fully vectorized (batched
+  murmur3 over the flattened token stream + segment reduction); near-
+  dup = Hamming ≤ r with 4×16-bit band blocking (pigeonhole: distance
+  ≤ 3 ⇒ one band equal); same remote verify / components / anti-join
+  spine as minhash.
 - **embedding near-dup**: block-wise cosine pairs via per-group numpy
   matmul (block = label here; kmeans/LSH cell at scale).
 
@@ -32,9 +40,12 @@ import re
 
 import numpy as np
 import pandas as pd
+import ray
 import ray.data
 
-from ..functions.urlkeys import murmur3_64
+from ..functions.urlkeys import murmur3_64, murmur3_64_batch
+from ..ops.components import min_label_components
+from ..ops.joins import anti_join_keys
 
 _TOKEN = re.compile(r"\S+")
 
@@ -54,12 +65,7 @@ def exact_dedup(
 
     def add_key(batch: pd.DataFrame) -> pd.DataFrame:
         keys = batch[text_col].str[:key_len] if key_len else batch[text_col]
-        return batch.assign(
-            __k=np.fromiter(
-                (murmur3_64(t) for t in keys), dtype=np.int64, count=len(keys)
-            ),
-            __ckey=keys,
-        )
+        return batch.assign(__k=murmur3_64_batch(list(keys)), __ckey=keys)
 
     def first_wins(group: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -133,24 +139,43 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return inter / union if union else 1.0
 
 
-def _components_min_label(edges: pd.DataFrame) -> dict:
-    """Connected components by iterated min-label propagation. Driver
-    loop over the VERIFIED edge set (sparse); at 10^10 docs the same
-    relaxation runs as groupby rounds over an edge Dataset."""
-    label: dict = {}
-    if not len(edges):
-        return label
-    ids = pd.unique(pd.concat([edges["src"], edges["dst"]]))
-    label = {i: i for i in ids}
-    changed = True
-    while changed:
-        changed = False
-        for s, d in edges.itertuples(index=False):
-            m = min(label[s], label[d])
-            if label[s] != m or label[d] != m:
-                label[s] = label[d] = m
-                changed = True
-    return label
+_EMPTY_EDGES = {"src": pd.Series(dtype=np.int64), "dst": pd.Series(dtype=np.int64)}
+
+
+def _hot_buckets(signed: "ray.data.Dataset") -> np.ndarray:
+    """Bucket ids with ≥2 members, via per-batch PARTIAL counts combined
+    on the driver (≤ one row per distinct bucket per batch — the hot
+    set itself is duplicate-bounded, tiny relative to the corpus). Both
+    a per-group map_groups (~0.1 ms Python per group over mostly-
+    singleton buckets) and Ray's sort-based groupby-count (measured
+    37 s on 80k rows) are pathological at this shape; at 10^11-bucket
+    scale the combine becomes a tree reduce over the partial tables."""
+    partials = signed.map_batches(
+        lambda df: df.groupby("bucket", sort=False).size().reset_index(name="n"),
+        batch_format="pandas",
+    ).to_pandas()
+    totals = partials.groupby("bucket", sort=False)["n"].sum()
+    return totals[totals >= 2].index.to_numpy(dtype=np.int64)
+
+
+def _drop_duplicate_ids(
+    ds: "ray.data.Dataset", edges: "ray.data.Dataset", id_col: str
+) -> "ray.data.Dataset":
+    """Cluster verified edges, keep min id per cluster, remove the rest
+    from ``ds`` — every step Dataset-native (components and the anti
+    join auto-switch to their distributed forms past their size gates).
+    """
+    labels = min_label_components(edges)
+
+    def dups(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.not_equal(t["label"], t["node"]))
+        return pa.table({id_col: t["node"]})
+
+    dup_keys = labels.map_batches(dups, batch_format="pyarrow")
+    return anti_join_keys(ds, dup_keys, on=id_col)
 
 
 def minhash_lsh_dedup(
@@ -171,73 +196,61 @@ def minhash_lsh_dedup(
     a, b = _perm_params(num_perm, seed)
 
     def sign(batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"id": [], "band": [], "band_hash": [], "sig": []}
+        ids_rep, sig_rep, blobs = [], [], []
         for did, text in zip(batch[id_col], batch[text_col]):
             sig = minhash_signature(char_shingles(text, shingle_k), a, b)
             sig_bytes = sig.tobytes()
             bh = sig.reshape(bands, rows_per_band)
             for bi in range(bands):
-                out["id"].append(did)
-                out["band"].append(bi)
-                out["band_hash"].append(int(murmur3_64(bh[bi].tobytes())))
-                out["sig"].append(sig_bytes)
-        return pd.DataFrame(out)
+                ids_rep.append(did)
+                sig_rep.append(sig_bytes)
+                # bucket = murmur3(band ‖ band-signature): ONE int64
+                # carries the (band, band_hash) pair — single-key
+                # groupby instead of the pathological multi-key sort
+                blobs.append(bytes([bi]) + bh[bi].tobytes())
+        return pd.DataFrame(
+            {
+                "id": np.asarray(ids_rep, dtype=np.int64),
+                "bucket": murmur3_64_batch(blobs),
+                "sig": sig_rep,
+            }
+        )
 
     signed = ds.select_columns([id_col, text_col]).map_batches(
         sign, batch_format="pandas"
     )
+    signed = signed.materialize()  # consumed twice (hot count + filter)
 
-    signed = signed.materialize()  # consumed twice below; bands are small
-
-    # Find buckets with ≥2 members via per-batch PARTIAL counts combined
-    # on the driver (the partials are ≤ one row per distinct bucket per
-    # batch). Both a per-group map_groups (~0.1 ms Python per group ×
-    # 80k buckets) and Ray's sort-based multi-key groupby (measured 37 s
-    # on 80k rows) are pathological at this shape; at 10^11-bucket scale
-    # the combine moves to a single-key hash groupby over
-    # murmur3(band, band_hash) partials.
-    partials = signed.map_batches(
-        lambda df: df.groupby(["band", "band_hash"], sort=False)
-        .size()
-        .reset_index(name="n"),
-        batch_format="pandas",
-    ).to_pandas()
-    totals = partials.groupby(["band", "band_hash"], sort=False)["n"].sum()
-    hot = totals[totals >= 2]
-    hot_keys = set(hot.index)
+    hot_ref = ray.put(_hot_buckets(signed))
 
     def in_hot(df: pd.DataFrame) -> pd.DataFrame:
-        mask = [
-            (b, h) in hot_keys for b, h in zip(df["band"], df["band_hash"])
-        ]
-        return df[np.asarray(mask, dtype=bool)]
+        return df[df["bucket"].isin(ray.get(hot_ref))]
 
-    cand = signed.map_batches(in_hot, batch_format="pandas").to_pandas()
-
-    # STAR verification: inside a bucket, estimate Jaccard only against
-    # the min-id representative — O(|bucket|), not O(|bucket|²). Heavy
-    # duplication makes buckets huge (measured 500-member buckets on the
-    # test corpus); pairwise there is quadratic for no extra recall —
-    # transitive members meet the same representative through other
-    # bands. Min-label propagation still merges across buckets.
-    src_l, dst_l = [], []
-    for _, group in cand.groupby(["band", "band_hash"], sort=False):
+    # STAR verification inside each bucket group, REMOTE: estimate
+    # Jaccard only against the min-id representative — O(|bucket|), not
+    # O(|bucket|²); transitive members meet the same representative
+    # through other bands, and min-label components still merge across
+    # buckets. (Round 1 pulled candidates to the driver here.)
+    def star_verify(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates("id").sort_values("id")
         if len(g) < 2:
-            continue
+            return pd.DataFrame(_EMPTY_EDGES)
         ids = g["id"].to_numpy()
         sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
         est = (sigs[1:] == sigs[0]).mean(axis=1)
-        for j in np.flatnonzero(est >= threshold):
-            src_l.append(ids[0])
-            dst_l.append(ids[1 + j])
-    edges = pd.DataFrame({"src": src_l, "dst": dst_l}).drop_duplicates()
-    label = _components_min_label(edges)
-    dup_ids = {i for i, root in label.items() if root != i}
+        hit = np.flatnonzero(est >= threshold)
+        return pd.DataFrame(
+            {"src": np.full(len(hit), ids[0]), "dst": ids[1 + hit]}
+        )
 
-    out = ds.map_batches(
-        lambda batch: batch[~batch[id_col].isin(dup_ids)], batch_format="pandas"
+    edges = (
+        signed.map_batches(in_hot, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(star_verify, batch_format="pandas")
+        .materialize()
     )
+
+    out = _drop_duplicate_ids(ds, edges, id_col)
     return (out, edges) if return_edges else out
 
 
@@ -245,19 +258,38 @@ def minhash_lsh_dedup(
 # SimHash
 # ---------------------------------------------------------------------------
 
+_SHIFTS = np.arange(64, dtype=np.uint64)
+_BIT_WEIGHTS = np.left_shift(np.uint64(1), _SHIFTS)
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """Vectorized 64-bit simhash over whitespace tokens (unit weights):
+    ONE batched murmur3 over the flattened token stream, bit expansion
+    and per-document segment sums in numpy — no per-token Python loop
+    (the round-1 kernel hot spot)."""
+    toks_per = [_TOKEN.findall(t) for t in texts]
+    counts = np.fromiter((len(ts) for ts in toks_per), np.int64, len(toks_per))
+    out = np.zeros(len(texts), dtype=np.int64)
+    flat = [tok for ts in toks_per for tok in ts]
+    if not flat:
+        return out
+    h = murmur3_64_batch(flat).view(np.uint64)
+    bits = ((h[:, None] >> _SHIFTS) & np.uint64(1)).astype(np.int32) * 2 - 1
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    nz = np.flatnonzero(counts > 0)
+    acc = np.add.reduceat(bits, starts[nz], axis=0)  # (n_nonzero, 64)
+    v = ((acc > 0).astype(np.uint64) * _BIT_WEIGHTS).sum(axis=1)
+    out[nz] = v.view(np.int64)
+    return out
+
 
 def simhash64(text: str) -> int:
     """64-bit simhash over whitespace tokens (unit weights)."""
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for tok in _TOKEN.findall(text):
-        h = np.uint64(murmur3_64(tok) & 0xFFFFFFFFFFFFFFFF)
-        bits = ((h >> shifts) & np.uint64(1)).astype(bool)
-        acc += np.where(bits, 1, -1)
-    v = 0
-    for bit in np.flatnonzero(acc > 0):
-        v |= 1 << int(bit)
-    return v - (1 << 64) if v >= (1 << 63) else v
+    return int(simhash64_batch([text])[0])
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
 
 
 def simhash_dedup(
@@ -269,57 +301,63 @@ def simhash_dedup(
     """Near-dup removal by simhash Hamming ≤ r with 16-bit band blocking."""
 
     def sign(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for did, text in zip(batch[id_col], batch[text_col]):
-            h = simhash64(text)
-            u = int(h) & 0xFFFFFFFFFFFFFFFF
-            for bi in range(4):
-                rows.append((did, int(h), bi, (u >> (16 * bi)) & 0xFFFF))
-        return pd.DataFrame(rows, columns=["id", "simhash", "band", "band_val"])
+        hs = simhash64_batch(list(batch[text_col]))
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        u = hs.view(np.uint64)
+        parts = []
+        for bi in range(4):
+            band_val = ((u >> np.uint64(16 * bi)) & np.uint64(0xFFFF)).astype(np.int64)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "id": ids,
+                        "simhash": hs,
+                        # bucket = band_val*4 + band: one exact int64 key
+                        "bucket": band_val * 4 + bi,
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
 
     signed = ds.select_columns([id_col, text_col]).map_batches(
         sign, batch_format="pandas"
     )
-
     signed = signed.materialize()
 
-    # same hot-bucket pattern as minhash: partial counts + driver combine
-    partials = signed.map_batches(
-        lambda df: df.groupby(["band", "band_val"], sort=False)
-        .size()
-        .reset_index(name="n"),
-        batch_format="pandas",
-    ).to_pandas()
-    totals = partials.groupby(["band", "band_val"], sort=False)["n"].sum()
-    hot = totals[totals >= 2]
-    hot_keys = set(hot.index)
+    hot_ref = ray.put(_hot_buckets(signed))
 
     def in_hot(df: pd.DataFrame) -> pd.DataFrame:
-        mask = [(b, h) in hot_keys for b, h in zip(df["band"], df["band_val"])]
-        return df[np.asarray(mask, dtype=bool)]
+        return df[df["bucket"].isin(ray.get(hot_ref))]
 
-    cand = signed.map_batches(in_hot, batch_format="pandas").to_pandas()
+    hamming = hamming_max
 
-    src_l, dst_l = [], []
-    for _, group in cand.groupby(["band", "band_val"], sort=False):
+    def pair_verify(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates("id").sort_values("id")
         if len(g) < 2:
-            continue
+            return pd.DataFrame(_EMPTY_EDGES)
         ids = g["id"].to_numpy()
         hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        for i in range(len(ids)):
-            x = hs[i] ^ hs[i + 1 :]
-            d = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.flatnonzero(d <= hamming_max):
-                src_l.append(int(ids[i]))
-                dst_l.append(int(ids[i + 1 + j]))
-    edges = pd.DataFrame({"src": src_l, "dst": dst_l}).drop_duplicates()
-    label = _components_min_label(edges)
-    dup_ids = {i for i, root in label.items() if root != i}
+        src_l, dst_l = [], []
+        for i in range(len(ids) - 1):
+            d = _popcount64(hs[i] ^ hs[i + 1 :])
+            for j in np.flatnonzero(d <= hamming):
+                src_l.append(ids[i])
+                dst_l.append(ids[i + 1 + j])
+        return pd.DataFrame(
+            {
+                "src": np.asarray(src_l, dtype=np.int64),
+                "dst": np.asarray(dst_l, dtype=np.int64),
+            }
+        )
 
-    return ds.map_batches(
-        lambda batch: batch[~batch[id_col].isin(dup_ids)], batch_format="pandas"
+    edges = (
+        signed.map_batches(in_hot, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pair_verify, batch_format="pandas")
+        .materialize()
     )
+
+    return _drop_duplicate_ids(ds, edges, id_col)
 
 
 # ---------------------------------------------------------------------------
