@@ -106,29 +106,35 @@ def _read_parquet_dir(d: str, columns: list[str] | None = None) -> pd.DataFrame:
 
 
 @ray.remote(num_cpus=0.5)
-def _project_round_block(t: pa.Table) -> tuple[pa.Table, pa.Table]:
-    """Per-block round projection, run REMOTELY next to the pinned
-    extracted block: returns only (fetched-url table, discovered-link
-    table) — the driver never receives the 36 field columns or the
-    text. On a multi-node cluster this keeps the per-round driver
-    traffic proportional to the LINK volume, not the extracted volume.
+def _project_round_blocks(*tables: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """Round projection over a GROUP of pinned extracted blocks, run
+    REMOTELY next to the data: returns only (fetched-url table,
+    discovered-link table) — the driver never receives the 36 field
+    columns or the text. On a multi-node cluster this keeps the
+    per-round driver traffic proportional to the LINK volume, not the
+    extracted volume. Blocks are grouped several-per-task so the
+    per-round task count (and its scheduling latency) stays small.
     """
-    got_mask = pc.is_in(
-        t["record_type"], value_set=pa.array(["dataset", RECORD_ERROR])
-    )
-    got = t.filter(got_mask).select(["url"])
-    lt = t.filter(pc.equal(t["record_type"], "link"))
-    links = pa.table(
-        {
-            "link_url": lt["link_url"],
-            "seq": lt["seq"],
-            "link_idx": lt["link_idx"],
-            "canonical_url": lt["link_canonical"],
-            "key": lt["link_key"],
-            "host": lt["link_host"],
-        }
-    )
-    return got, links
+    gots, links = [], []
+    for t in tables:
+        got_mask = pc.is_in(
+            t["record_type"], value_set=pa.array(["dataset", RECORD_ERROR])
+        )
+        gots.append(t.filter(got_mask).select(["url"]))
+        lt = t.filter(pc.equal(t["record_type"], "link"))
+        links.append(
+            pa.table(
+                {
+                    "link_url": lt["link_url"],
+                    "seq": lt["seq"],
+                    "link_idx": lt["link_idx"],
+                    "canonical_url": lt["link_canonical"],
+                    "key": lt["link_key"],
+                    "host": lt["link_host"],
+                }
+            )
+        )
+    return pa.concat_tables(gots), pa.concat_tables(links)
 
 
 @dataclass
@@ -181,6 +187,8 @@ class CrawlRun:
         self.robots = dict(zip(pol["host"], pol["robots_disallow_prefix"]))
         self.default_budget = cc.default_host_budget
         self._stage: ExtractStage | None = None
+        self._pending_commit: tuple | None = None
+        self.phase_times: list[dict] = []
 
     def _extract_stage(self) -> ExtractStage:
         if self._stage is None:
@@ -227,9 +235,12 @@ class CrawlRun:
         if mode == "distributed":
             self._bootstrap_distributed()
             return
-        seeds = ray.data.read_parquet(self.seeds_path).map_batches(
-            keyed_frontier_batch, batch_format="pyarrow"
-        )
+        # split the (single-file) seed table so canonicalize+key runs
+        # across the cluster instead of inside one block's task
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        seeds = ray.data.read_parquet(
+            self.seeds_path, override_num_blocks=ncpu
+        ).map_batches(keyed_frontier_batch, batch_format="pyarrow")
         sdf = seeds.to_pandas()  # driver mode: the seed list fits here
         # C1 debug window: skip(dataset_start).take(dataset_limit), only
         # when debug is on (/root/reference/src/main.rs:154-169)
@@ -458,32 +469,41 @@ class CrawlRun:
             self._page_store = get_page_store(
                 self.pages_path, self.settings.crawl.num_page_shards
             )
-        # Driver-side shard routing: ONE get() per shard per round; the
-        # shard results become dataset blocks directly (from_arrow_refs,
-        # no extra copies), then split to ~2 blocks per CPU so the fused
-        # attach→extract chain uses the whole cluster. The earlier
-        # design — map_batches tasks each calling ray.get on shard
-        # actors — blocked workers inside ray.get and made Ray spawn
-        # replacement processes (observed 56 workers on an 8-CPU
-        # cluster: hidden oversubscription that corrupted scaling).
+        # Driver-side shard routing, k url-chunks per shard per round:
+        # each chunk call returns pages WITH the fetch meta columns
+        # joined in-actor (Arrow take + append — the earlier
+        # repartition + per-batch pandas merge moved the whole round's
+        # pages twice and halved big-round throughput). The chunk count
+        # targets ~2 blocks per CPU so the downstream extract uses the
+        # whole cluster; the shard results become dataset blocks
+        # directly (from_arrow_refs, no extra copies). Never call
+        # ray.get on the store from inside map tasks — blocked workers
+        # made Ray spawn replacement processes (observed 56 workers on
+        # an 8-CPU cluster: hidden oversubscription).
         store = self._page_store
-        urls = meta["url"].tolist()
-        shard_ids = store.shard_of(urls)
+        urls = meta["url"].to_numpy()
+        shard_ids = store.shard_of(list(urls))
+        meta_t = pa.Table.from_pandas(meta, preserve_index=False)
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        # chunk count per shard PROPORTIONAL to its url share (the
+        # range-sharded store concentrates mega-host urls in a few
+        # shards; equal per-shard chunking left straggler blocks) —
+        # target ≈ 2 equal blocks per CPU overall
+        total = len(urls)
         refs = []
         for sid in np.unique(shard_ids):
             sel = np.flatnonzero(shard_ids == sid)
-            refs.append(store.shards[int(sid)].get.remote([urls[i] for i in sel]))
-        fetched = ray.data.from_arrow_refs(refs)
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        nparts = max(1, min(2 * ncpu, len(meta) // 256))
-        if nparts > 1:
-            fetched = fetched.repartition(nparts)
-        meta_ref = ray.put(meta)
-
-        def attach(batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(ray.get(meta_ref), on="url", how="inner")
-
-        return fetched.map_batches(attach, batch_format="pandas")
+            nchunks = max(1, round(2 * ncpu * len(sel) / max(1, total)))
+            for chunk in np.array_split(sel, min(nchunks, len(sel))):
+                if not len(chunk):
+                    continue
+                refs.append(
+                    store.shards[int(sid)].get_with_meta.remote(
+                        [urls[i] for i in chunk],
+                        meta_t.take(pa.array(chunk, pa.int64())),
+                    )
+                )
+        return ray.data.from_arrow_refs(refs)
 
     # ---------------- one round ----------------
     def _round(self, rnd: int) -> bool:
@@ -536,20 +556,38 @@ class CrawlRun:
             ).materialize()
             phase_t["extract"] = _now() - t0
             t0 = _now()
-            extracted.write_parquet(out_dir, partition_cols=["record_type"])
-            phase_t["write"] = _now() - t0
-            t0 = _now()
 
-            # Remote per-block projections straight off the pinned
+            # Remote grouped projections straight off the pinned
             # blocks: plain Ray tasks (no second Dataset execution —
             # each execution's flat startup cost was a measured
             # per-round tax), and the driver receives ONLY the small
             # (url, link) projections, never the full extracted blocks.
+            # Submitted BEFORE the parquet write so the two consumers
+            # of the pinned blocks overlap; collected after it.
             blocks = []
             for bundle in extracted.iter_internal_ref_bundles():
                 for block_ref in bundle.block_refs:
                     blocks.append(block_ref)
-            parts = ray.get([_project_round_block.remote(b) for b in blocks])
+            futs = [
+                _project_round_blocks.remote(*blocks[i : i + 8])
+                for i in range(0, len(blocks), 8)
+            ]
+
+            # capped write concurrency + zstd: the sink disk is a
+            # SHARED serial resource — 64 concurrent snappy writers
+            # measurably thrashed it (write wall was higher at 32 CPUs
+            # than at 8); fewer writers × smaller bytes keeps the disk
+            # out of the round's critical path. On a multi-node cluster
+            # each node writes locally, so the cap scales with nodes.
+            extracted.write_parquet(
+                out_dir,
+                partition_cols=["record_type"],
+                compression="zstd",
+                concurrency=16,
+            )
+            phase_t["write"] = _now() - t0
+            t0 = _now()
+            parts = ray.get(futs)
             got_tbls = [g for g, _l in parts if g.num_rows]
             link_tbls = [l for _g, l in parts if l.num_rows]
             got = (
@@ -557,11 +595,7 @@ class CrawlRun:
                 if got_tbls
                 else set()
             )
-            links = (
-                pa.concat_tables(link_tbls).to_pandas()
-                if link_tbls
-                else pd.DataFrame()
-            )
+            links = pa.concat_tables(link_tbls) if link_tbls else None
             phase_t["project"] = _now() - t0
             t0 = _now()
 
@@ -584,46 +618,62 @@ class CrawlRun:
                 os.makedirs(miss_dir, exist_ok=True)
                 pq.write_table(miss_t, os.path.join(miss_dir, "misses.parquet"))
 
-            if len(links):
-                pr = winners[["seq", "priority"]].rename(
-                    columns={"priority": "parent_priority"}
-                )
-                links = links.merge(pr, on="seq", how="left")
-                links["priority"] = links["parent_priority"].fillna(0.0) * 0.5
-                links = links.drop(columns=["parent_priority"])
-
         # ---- link admission (deterministic child seqs, then seen-filter)
+        # All wide work stays numpy/Arrow over the raw link table; the
+        # only pandas frame built is the (small) admitted set — the
+        # round-1 path converted and merged the full multi-million-row
+        # link table driver-side.
         admitted_rows = 0
         new_frontier = pd.DataFrame(columns=FRONTIER_COLS)
-        if len(links):
-            self.metrics.links_discovered += len(links)
-            links = links.sort_values(["seq", "link_idx"], kind="mergesort")
-            links = links.drop_duplicates("key", keep="first")
+        if links is not None and links.num_rows:
+            self.metrics.links_discovered += links.num_rows
+            seq_a = links["seq"].to_numpy(zero_copy_only=False)
+            idx_a = links["link_idx"].to_numpy(zero_copy_only=False)
+            key_a = links["key"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((idx_a, seq_a))  # (seq, link_idx) asc
+            first = ~pd.Series(key_a[order]).duplicated().to_numpy()
+            cand_idx = order[first]
+            ck = key_a[cand_idx]
             # a sequential crawler only numbers NOVEL urls — filter
             # against the committed seen set BEFORE consuming seqs, so
             # the seq/surrogate sequence is identical to the
             # single-threaded reference (tests/test_crawl_vs_sequential)
-            known = self.seen.lookup(links["key"].to_numpy()) >= 0
-            links = links[~known]
-            links = links.assign(
-                child_seq=np.arange(self.next_seq, self.next_seq + len(links))
+            known = self.seen.lookup(ck) >= 0
+            cand_idx, ck = cand_idx[~known], ck[~known]
+            child_seq = np.arange(
+                self.next_seq, self.next_seq + len(ck), dtype=np.int64
             )
-            self.next_seq += len(links)
-            fresh = self.seen.offer_batch(
-                links["key"].to_numpy(), links["child_seq"].to_numpy()
-            )
-            links = links[fresh]
+            self.next_seq += len(ck)
+            fresh = self.seen.offer_batch(ck, child_seq)
+            cand_idx, ck, child_seq = cand_idx[fresh], ck[fresh], child_seq[fresh]
             admitted = self.seen.commit_round().to_pandas()
             admitted_rows = len(admitted)
             if admitted_rows:
-                nf = links.merge(
+                cand_t = links.take(pa.array(cand_idx, pa.int64()))
+                cand = pd.DataFrame(
+                    {
+                        "url": cand_t["link_url"].to_pandas(),
+                        "canonical_url": cand_t["canonical_url"].to_pandas(),
+                        "key": ck,
+                        "host": cand_t["host"].to_pandas(),
+                        "parent_seq": cand_t["seq"].to_pandas(),
+                        "child_seq": child_seq,
+                    }
+                )
+                prio_by_seq = pd.Series(
+                    winners["priority"].to_numpy(), index=winners["seq"].to_numpy()
+                )
+                cand["priority"] = (
+                    cand["parent_seq"].map(prio_by_seq).fillna(0.0).to_numpy() * 0.5
+                )
+                nf = cand.merge(
                     admitted.rename(columns={"first_seq": "child_seq"}),
                     on=["key", "child_seq"],
                     how="inner",
                 )
                 new_frontier = pd.DataFrame(
                     {
-                        "url": nf["link_url"],
+                        "url": nf["url"],
                         "canonical_url": nf["canonical_url"],
                         "key": nf["key"],
                         "host": nf["host"],
@@ -658,7 +708,13 @@ class CrawlRun:
 
         phase_t["admission"] = _now() - t0
         t0 = _now()
-        self.seen.snapshot(self.seen_dir(rnd))
+        # round N's shard snapshots run in the background through all of
+        # round N+1 (actor message order makes them a consistent cut);
+        # the manifest commit waits for them at the NEXT round's commit
+        # point, so the per-round serial path carries neither the
+        # snapshot IO nor the commit fsync.
+        self._flush_pending_commit()
+        snap_futs = self.seen.snapshot_async(self.seen_dir(rnd))
         phase_t["snapshot"] = _now() - t0
         self.metrics.rounds = rnd + 1
         self.metrics.fetched += n_fetched
@@ -672,10 +728,15 @@ class CrawlRun:
                 "fetched": int(n_fetched),
                 "misses": int(n_miss),
                 "links_admitted": int(admitted_rows),
-                "phase_sec": {k: round(v, 3) for k, v in phase_t.items()},
             }
         )
-        self.manifest.commit_round(
+        # wall times live OUTSIDE metrics (metrics must be bit-equal
+        # across identical runs — the determinism contract)
+        self.phase_times.append(
+            {"round": rnd, **{k: round(v, 3) for k, v in phase_t.items()}}
+        )
+        self._pending_commit = (
+            snap_futs,
             rnd,
             {
                 "frontier_dir": fdir,
@@ -684,9 +745,18 @@ class CrawlRun:
                 "next_seq": self.next_seq,
                 "next_surrogate": self.seen.next_surrogate,
                 "stats": self.metrics.per_round[-1],
+                "phase_sec": self.phase_times[-1],
             },
         )
         return has_next
+
+    def _flush_pending_commit(self) -> None:
+        if self._pending_commit is None:
+            return
+        futs, rnd, info = self._pending_commit
+        self._pending_commit = None
+        ray.get(futs)  # snapshot durable before the round is committed
+        self.manifest.commit_round(rnd, info)
 
     # ---------------- top-level ----------------
     def run(self, resume: bool = False) -> CrawlMetrics:
@@ -711,6 +781,7 @@ class CrawlRun:
         for rnd in range(start_round, self.settings.crawl.max_rounds):
             if not self._round(rnd):
                 break
+        self._flush_pending_commit()
 
         self._count_outputs()
         self.manifest.finalize(

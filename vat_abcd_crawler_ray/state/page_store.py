@@ -45,6 +45,26 @@ class PageStoreShard:
             return self.table.slice(0, 0)
         return self.table.take(pa.array(idxs, type=pa.int64()))
 
+    def get_with_meta(self, urls: list[str], meta: pa.Table) -> pa.Table:
+        """Rows for the present urls, with the caller's positionally
+        aligned ``meta`` columns appended in-actor (Arrow take + column
+        append — no driver-side or task-side join). One result block
+        per call; the caller chunks its url list to set block sizes."""
+        index = self.index
+        pos: list[int] = []
+        idxs: list[int] = []
+        for i, u in enumerate(urls):
+            j = index.get(u)
+            if j is not None:
+                pos.append(i)
+                idxs.append(j)
+        t = self.table.take(pa.array(idxs, type=pa.int64()))
+        mt = meta.take(pa.array(pos, type=pa.int64()))
+        for name in meta.column_names:
+            if name != "url":
+                t = t.append_column(name, mt[name])
+        return t
+
     def size(self) -> int:
         return len(self.index)
 

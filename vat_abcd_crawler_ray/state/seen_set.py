@@ -264,18 +264,27 @@ class ShardedSeenSet:
             out[sel] = res
         return out
 
-    def snapshot(self, dir_path: str) -> None:
+    def snapshot_async(self, dir_path: str) -> list:
+        """Submit the per-shard snapshot writes and return their
+        futures WITHOUT blocking. Per-actor message ordering makes the
+        snapshot a consistent post-round cut even while the next
+        round's ``offer`` calls queue behind it; the caller must
+        ``ray.get`` the futures before treating the round as durable
+        (a half-written snapshot can only belong to an uncommitted
+        round, which is never restored)."""
         os.makedirs(dir_path, exist_ok=True)
-        ray.get(
-            [
-                s.snapshot.remote(os.path.join(dir_path, f"shard_{i}.npz"))
-                for i, s in enumerate(self.shards)
-            ]
-        )
+        futs = [
+            s.snapshot.remote(os.path.join(dir_path, f"shard_{i}.npz"))
+            for i, s in enumerate(self.shards)
+        ]
         tmp = os.path.join(dir_path, "_meta.tmp")
         with open(tmp, "w") as fh:
             fh.write(str(self.next_surrogate))
         os.replace(tmp, os.path.join(dir_path, "_meta"))
+        return futs
+
+    def snapshot(self, dir_path: str) -> None:
+        ray.get(self.snapshot_async(dir_path))
 
     def restore(self, dir_path: str) -> None:
         ray.get(
