@@ -148,6 +148,70 @@ def _bench_queries(sf_dir: str, num_cpus: int) -> tuple[dict, dict]:
     return timings, derived
 
 
+def _bench_crawl_big(sf_dir: str, num_cpus: int) -> dict:
+    """Crawl-only at production-shaped round sizes (bigger corpus +
+    budgets → round 0/1 carry hundreds of thousands of pages each):
+    the configuration that shows what the per-round serial fraction
+    amortizes to when rounds look like a real crawl's."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        log_to_driver=False,
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data
+
+    from vat_abcd_crawler_ray.config import Settings
+    from vat_abcd_crawler_ray.pipelines.crawl import CrawlRun
+    from vat_abcd_crawler_ray.sources.synthetic import corpus_dir
+
+    corpus = corpus_dir(
+        sf_dir,
+        replicate=int(os.environ.get("BENCH_BIG_REPLICATE", "120")),
+        budget_scale=int(os.environ.get("BENCH_BIG_BUDGET_SCALE", "4000")),
+    )
+    pages_path = os.path.join(corpus, "pages.parquet")
+    for root, _d, files in os.walk(pages_path):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+    ray.data.range(num_cpus * 4).map_batches(lambda b: b, batch_size=1).count()
+
+    run_dir = f"/tmp/vat_bench_big_{num_cpus}"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    settings = Settings()
+    settings.crawl.max_rounds = 12
+    t0 = time.perf_counter()
+    run = CrawlRun(
+        pages_path,
+        os.path.join(corpus, "seeds.parquet"),
+        os.path.join(corpus, "politeness.parquet"),
+        run_dir,
+        settings=settings,
+    )
+    metrics = run.run()
+    dt = time.perf_counter() - t0
+    ray.shutdown()
+    return {
+        "metric": "crawl_big_sec",
+        "value": round(dt, 2),
+        "unit": "sec",
+        "fetched": metrics.fetched,
+        "rounds": metrics.rounds,
+        "fetched_per_sec": round(metrics.fetched / dt, 1),
+        "num_cpus": num_cpus,
+        "phase_sec": run.phase_times,
+    }
+
+
 def run_once() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -226,6 +290,26 @@ def run_scaling(lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
             ),
         }
 
+    # crawl at production-shaped round sizes, same min-of-reps protocol
+    big: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(reps):
+        for ncpu in (lo, hi):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--crawl-big"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [
+                l for l in res.stdout.strip().splitlines() if l.startswith("{")
+            ][-1]
+            big[ncpu].append(json.loads(line))
+    big_lo = min(big[lo], key=lambda r: r["value"])
+    big_hi = min(big[hi], key=lambda r: r["value"])
+
     blo, bhi = best(lo), best(hi)
     speedup = hi / lo
     per_query_eff = {
@@ -251,6 +335,17 @@ def run_scaling(lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
         f"queries_{hi}": bhi["queries"],
         f"derived_{lo}": blo["derived"],
         f"derived_{hi}": bhi["derived"],
+        "crawl_big": {
+            "efficiency": round(
+                (big_lo["value"] / big_hi["value"]) / speedup, 3
+            ),
+            f"sec_{lo}": big_lo["value"],
+            f"sec_{hi}": big_hi["value"],
+            f"fetched_per_sec_{lo}": big_lo["fetched_per_sec"],
+            f"fetched_per_sec_{hi}": big_hi["fetched_per_sec"],
+            "fetched": big_hi["fetched"],
+            "rounds": big_hi["rounds"],
+        },
         "sf": runs[hi][0]["sf"],
         "num_cpus": hi,
     }
@@ -259,5 +354,9 @@ def run_scaling(lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--crawl-big" in sys.argv:
+        sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(_bench_crawl_big(sf_dir, num_cpus)))
     else:
         print(json.dumps(run_once()))
