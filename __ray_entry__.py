@@ -790,40 +790,86 @@ def _q_knn_lsh(sf_dir: str):
 
 
 def _q_multimodal_features(sf_dir: str):
-    """Media plumbing over documents-as-binary: decode → features."""
-    from vat_abcd_crawler_ray.stages.multimodal import (
-        DecodeImageStage,
-        ImageFeatureStage,
-    )
+    """REAL image decode path, oracle-gated end to end: deterministic
+    constant-color PPM bytes (size and color derived from doc_id) →
+    netpbm header parse + pixel load + nearest resize in an actor pool
+    (``decoder="ppm"``) → per-channel means. The oracle recomputes the
+    expected source dims and channel means from doc_id arithmetic, so a
+    decode offset/shape bug breaks the hash."""
+    from vat_abcd_crawler_ray.functions.codecs import encode_ppm
+    from vat_abcd_crawler_ray.stages.multimodal import DecodeImageStage
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id"])
 
     def to_media(t: pa.Table) -> pa.Table:
-        blobs = [s.encode() for s in t["text"].to_pylist()]
+        blobs = []
+        for i in t["doc_id"].to_pylist():
+            h, w = 6 + i % 3, 8 + i % 5
+            img = np.empty((h, w, 3), np.uint8)
+            img[..., 0] = i % 256
+            img[..., 1] = (i * 7) % 256
+            img[..., 2] = (i * 13) % 256
+            blobs.append(encode_ppm(img))
         return pa.table(
             {"doc_id": t["doc_id"], "media": pa.array(blobs, pa.binary())}
         )
 
-    # fractional num_cpus: two chained actor pools must not reserve the
-    # whole (small) cluster — leave CPUs for the read/write tasks.
-    return (
-        docs.map_batches(to_media, batch_format="pyarrow")
-        .map_batches(
-            DecodeImageStage,
-            fn_constructor_kwargs={"out_hw": (16, 16)},
-            batch_format="pyarrow",
-            batch_size=64,
-            concurrency=2,
-            num_cpus=0.5,
+    # fractional num_cpus: the actor pool must not reserve the whole
+    # (small) cluster — leave CPUs for the read and projection tasks.
+    decoded = docs.map_batches(to_media, batch_format="pyarrow").map_batches(
+        DecodeImageStage,
+        fn_constructor_kwargs={"out_hw": (16, 16), "decoder": "ppm"},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=0.5,
+    )
+
+    def feats(t: pa.Table) -> pa.Table:
+        flat = np.stack(t["pixels"].to_numpy(zero_copy_only=False))
+        imgs = flat.reshape(len(flat), 16, 16, 3)
+        means = imgs.mean(axis=(1, 2))  # exact: constant-color images
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "src_height": t["src_height"],
+                "src_width": t["src_width"],
+                "mean_r": pa.array(means[:, 0], pa.float64()),
+                "mean_g": pa.array(means[:, 1], pa.float64()),
+                "mean_b": pa.array(means[:, 2], pa.float64()),
+            }
         )
-        .map_batches(
-            ImageFeatureStage,
-            batch_format="pyarrow",
-            batch_size=64,
-            concurrency=2,
-            num_cpus=0.5,
+
+    return decoded.map_batches(feats, batch_format="pyarrow")
+
+
+def _q_audio_features(sf_dir: str):
+    """REAL audio decode path, oracle-gated: deterministic PCM-16 WAV
+    clips (samples = ((doc_id*31 + k*7) mod 2048) - 1024) → RIFF chunk
+    walk + sample load + integer features in an actor pool. All outputs
+    are exact integers, reproduced by the oracle from doc_id arithmetic."""
+    from vat_abcd_crawler_ray.functions.codecs import encode_wav
+    from vat_abcd_crawler_ray.stages.multimodal import AudioFeatureStage
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in t["doc_id"].to_pylist():
+            n = 200 + i % 100
+            k = np.arange(n, dtype=np.int64)
+            v = ((i * 31 + k * 7) % 2048 - 1024).astype(np.int16)
+            blobs.append(encode_wav(v, 8000 + (i % 4) * 4000))
+        return pa.table(
+            {"doc_id": t["doc_id"], "media": pa.array(blobs, pa.binary())}
         )
-        .select_columns(["doc_id", "features"])
+
+    return docs.map_batches(to_media, batch_format="pyarrow").map_batches(
+        AudioFeatureStage,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=0.5,
     )
 
 
@@ -873,6 +919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn": _q_knn,
         "q_knn_lsh": _q_knn_lsh,
         "q_multimodal_features": _q_multimodal_features,
+        "q_audio_features": _q_audio_features,
     }
 
 
@@ -1257,6 +1304,37 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY cos DESC, neighbor_id) AS rn
                   FROM s)
             SELECT query_id, neighbor_id FROM r WHERE rn <= 5
+        """,
+        "q_multimodal_features": """
+            SELECT doc_id,
+                   CAST(6 + doc_id % 3 AS INTEGER) AS src_height,
+                   CAST(8 + doc_id % 5 AS INTEGER) AS src_width,
+                   CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+                   CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+                   CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+            FROM documents
+        """,
+        "q_audio_features": """
+            WITH s AS (
+              SELECT d.doc_id AS doc_id,
+                     unnest(generate_series(0, CAST(199 + d.doc_id % 100 AS BIGINT))) AS k
+              FROM documents d
+            ), v AS (
+              SELECT doc_id, k, ((doc_id * 31 + k * 7) % 2048) - 1024 AS val
+              FROM s
+            ), x AS (
+              SELECT doc_id, val,
+                     lag(val) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+              FROM v
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+                   CAST(sum(abs(val)) AS BIGINT) AS sum_abs,
+                   CAST(sum(CASE WHEN prev IS NOT NULL
+                                  AND ((val >= 0) <> (prev >= 0))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+            FROM x GROUP BY doc_id
         """,
         "q_knn": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

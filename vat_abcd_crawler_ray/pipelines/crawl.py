@@ -134,7 +134,23 @@ def _project_round_blocks(*tables: pa.Table) -> tuple[pa.Table, pa.Table]:
                 }
             )
         )
-    return pa.concat_tables(gots), pa.concat_tables(links)
+    got_t = pa.concat_tables(gots)
+    link_t = pa.concat_tables(links)
+    n_raw = link_t.num_rows  # pre-dedup discovery count (the metric)
+    # partial key-dedup REMOTELY (min (seq, link_idx) per key — min of
+    # per-task mins is the global min, so the driver's final dedup sees
+    # only each task's survivors instead of every duplicate discovery)
+    if link_t.num_rows:
+        order = np.lexsort(
+            (
+                link_t["link_idx"].to_numpy(zero_copy_only=False),
+                link_t["seq"].to_numpy(zero_copy_only=False),
+            )
+        )
+        keys = link_t["key"].to_numpy(zero_copy_only=False)[order]
+        first = ~pd.Series(keys).duplicated().to_numpy()
+        link_t = link_t.take(pa.array(order[first], pa.int64()))
+    return got_t, link_t, n_raw
 
 
 @dataclass
@@ -588,8 +604,9 @@ class CrawlRun:
             phase_t["write"] = _now() - t0
             t0 = _now()
             parts = ray.get(futs)
-            got_tbls = [g for g, _l in parts if g.num_rows]
-            link_tbls = [l for _g, l in parts if l.num_rows]
+            got_tbls = [g for g, _l, _n in parts if g.num_rows]
+            link_tbls = [l for _g, l, _n in parts if l.num_rows]
+            n_links_raw = sum(n for _g, _l, n in parts)
             got = (
                 set(pa.concat_tables(got_tbls)["url"].to_pylist())
                 if got_tbls
@@ -626,7 +643,7 @@ class CrawlRun:
         admitted_rows = 0
         new_frontier = pd.DataFrame(columns=FRONTIER_COLS)
         if links is not None and links.num_rows:
-            self.metrics.links_discovered += links.num_rows
+            self.metrics.links_discovered += n_links_raw
             seq_a = links["seq"].to_numpy(zero_copy_only=False)
             idx_a = links["link_idx"].to_numpy(zero_copy_only=False)
             key_a = links["key"].to_numpy(zero_copy_only=False)

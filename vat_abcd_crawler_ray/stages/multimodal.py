@@ -2,12 +2,17 @@
 with typed metadata; decode / feature-extract / resize / frame-sample
 as actor-pool ``map_batches`` stages.
 
-The decode kernels themselves are STUBBED — the image/audio libraries
-are not in this container — behind ``decoder="fake"`` (a deterministic
-content-derived fake, default for tests) or ``decoder="real"`` (raises
-``NotImplementedError`` at the exact seam where PIL/ffmpeg would be
-called). Everything Ray-side is real and tested: schema contract,
-actor-pool signature, batch sizing for wide binary rows, output layout.
+Decoders, by honesty level:
+
+- ``decoder="ppm"`` (images) and the WAV audio stage are REAL,
+  library-free decode paths (functions/codecs.py: netpbm header
+  parse + ``np.frombuffer``; RIFF chunk walk) — bytes go in, pixels /
+  samples come out, resize and features operate on the decoded data.
+- ``decoder="fake"`` is a deterministic content-derived stand-in
+  (tests and format-agnostic plumbing checks).
+- ``decoder="real"`` marks the seam where PIL/ffmpeg would decode
+  COMPRESSED formats (JPEG/PNG/MP4) — not in this container, raises
+  ``NotImplementedError``.
 
 At 100 TB: media bytes dominate block size → run these stages with
 small ``batch_size`` (16-64) and ``batch_format="pyarrow"`` so the
@@ -19,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions.codecs import decode_ppm, decode_wav, resize_nearest
 from ..functions.urlkeys import murmur3_x64_128
 
 
@@ -45,13 +51,22 @@ class DecodeImageStage:
         if decoder == "real":
             # the real path would `import PIL.Image` here (once per actor)
             raise NotImplementedError(
-                "real image decoding requires PIL/libvips — not in this container"
+                "compressed-format decoding requires PIL/libvips — not in "
+                "this container; use decoder='ppm' for netpbm bytes"
             )
 
+    def _decode(self, blob: bytes) -> tuple[np.ndarray, int, int]:
+        if self.decoder == "ppm":
+            img = decode_ppm(blob)
+            sh, sw = img.shape[:2]
+            return resize_nearest(img, (self.h, self.w)), sh, sw
+        return _fake_pixels(blob, self.h, self.w), self.h, self.w
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        blobs = batch[self.media_col].to_pylist()
-        pixels = np.stack([_fake_pixels(b or b"", self.h, self.w) for b in blobs])
-        flat = pixels.reshape(len(blobs), -1)
+        decoded = [self._decode(b or b"") for b in batch[self.media_col].to_pylist()]
+        pixels = np.stack([d[0] for d in decoded])
+        n = len(decoded)
+        flat = pixels.reshape(n, -1)
         return (
             batch.drop_columns([self.media_col])
             .append_column(
@@ -60,8 +75,14 @@ class DecodeImageStage:
                     pa.array(flat.reshape(-1), pa.uint8()), flat.shape[1]
                 ),
             )
-            .append_column("height", pa.array([self.h] * len(blobs), pa.int32()))
-            .append_column("width", pa.array([self.w] * len(blobs), pa.int32()))
+            .append_column("height", pa.array([self.h] * n, pa.int32()))
+            .append_column("width", pa.array([self.w] * n, pa.int32()))
+            .append_column(
+                "src_height", pa.array([d[1] for d in decoded], pa.int32())
+            )
+            .append_column(
+                "src_width", pa.array([d[2] for d in decoded], pa.int32())
+            )
         )
 
 
@@ -92,6 +113,37 @@ class ImageFeatureStage:
             pa.FixedSizeListArray.from_arrays(
                 pa.array(feats.reshape(-1), pa.float32()), feats.shape[1]
             ),
+        )
+
+
+class AudioFeatureStage:
+    """WAV binary → per-clip scalar features, REAL decode path
+    (functions/codecs.decode_wav — RIFF PCM-16 chunk walk):
+    sample count, rate, integer sum of |mono samples| and zero-crossing
+    count — exact integers, so the stage is oracle-checkable end to end
+    (``q_audio_features``). A model-embedding variant would load its
+    model here in ``__init__`` (once per actor)."""
+
+    def __init__(self, media_col: str = "media"):
+        self.media_col = media_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns, rates, sum_abs, zc = [], [], [], []
+        for blob in batch[self.media_col].to_pylist():
+            samples, rate = decode_wav(blob or b"")
+            mono = samples.mean(axis=1, dtype=np.int64) if samples.shape[1] > 1 \
+                else samples[:, 0].astype(np.int64)
+            ns.append(samples.shape[0])
+            rates.append(rate)
+            sum_abs.append(int(np.abs(mono).sum()))
+            sign = mono >= 0
+            zc.append(int((sign[1:] != sign[:-1]).sum()))
+        return (
+            batch.drop_columns([self.media_col])
+            .append_column("n_samples", pa.array(ns, pa.int64()))
+            .append_column("sample_rate", pa.array(rates, pa.int64()))
+            .append_column("sum_abs", pa.array(sum_abs, pa.int64()))
+            .append_column("zero_crossings", pa.array(zc, pa.int64()))
         )
 
 
