@@ -982,6 +982,155 @@ def _crawl_oracle_branches(select_for_exp) -> str:
     return header + "\nUNION ALL\n".join(branches)
 
 
+def _minhash_oracle_sql() -> str:
+    """Full SQL re-derivation of minhash_lsh_dedup (mod-(2^31-1)
+    arithmetic end to end): char-5 shingle polynomial hashes → 64
+    Carter-Wegman minima (the exact (a,b) literals below come from the
+    same seeded generator the pipeline uses) → 16 two-fold band buckets
+    → ≥2-member buckets → star verification against the min-id
+    representative (≥52/64 equal positions ⇔ estimated Jaccard ≥ 0.8)
+    → min-label connected components (recursive CTE) → drop non-min
+    cluster members."""
+    from vat_abcd_crawler_ray.pipelines.dedup import _perm_params
+
+    a, b = _perm_params(64, 42)
+    perms = "[" + ", ".join(f"[{int(x)}, {int(y)}]" for x, y in zip(a, b)) + "]"
+    p = 2147483647
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         CASE WHEN length(text) < 5 THEN
+           [list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(str_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+              (x, y) -> (x * 257 + y) % {p})]
+         ELSE list_distinct(list_transform(generate_series(1, length(text) - 4),
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(str_split(substr(text, i, 5), ''),
+                                 c -> CAST(ascii(c) AS BIGINT))),
+                  (x, y) -> (x * 257 + y) % {p})))
+         END AS shingles
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         list_transform({perms}, pp ->
+           list_min(list_transform(shingles, h -> (pp[1] * h + pp[2]) % {p}))) AS sg
+  FROM sh
+),
+bx AS (
+  SELECT doc_id, sg, unnest(generate_series(0, 15)) AS b FROM sig
+),
+bands AS (
+  SELECT doc_id,
+         list_reduce([CAST(b AS BIGINT), sg[4*b+1], sg[4*b+2], sg[4*b+3], sg[4*b+4]],
+                     (x, y) -> (x * 1000003 + y) % {p}) * CAST({p} AS BIGINT)
+       + list_reduce([CAST(b AS BIGINT), sg[4*b+1], sg[4*b+2], sg[4*b+3], sg[4*b+4]],
+                     (x, y) -> (x * 1000033 + y) % {p}) AS bucket
+  FROM bx
+),
+reps AS (
+  SELECT bucket, min(doc_id) AS rep FROM bands
+  GROUP BY bucket HAVING count(DISTINCT doc_id) >= 2
+),
+cand AS (
+  SELECT DISTINCT r.rep AS src, b.doc_id AS dst
+  FROM reps r JOIN bands b ON b.bucket = r.bucket AND b.doc_id > r.rep
+),
+edges AS (
+  SELECT c.src, c.dst FROM cand c
+  JOIN sig sa ON sa.doc_id = c.src
+  JOIN sig sb ON sb.doc_id = c.dst
+  WHERE list_sum(list_transform(generate_series(1, 64),
+          i -> CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END)) >= 52
+),
+und AS (SELECT src AS s, dst AS d FROM edges UNION ALL SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT s AS node FROM und),
+cc AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT e.d, cc.label FROM cc JOIN und e ON e.s = cc.node
+),
+dups AS (SELECT node FROM cc GROUP BY node HAVING min(label) < node)
+SELECT d.* FROM documents d WHERE d.doc_id NOT IN (SELECT node FROM dups)
+"""
+
+
+def _simhash_oracle_sql() -> str:
+    """Full SQL re-derivation of simhash_dedup: per-token 64-bit hash =
+    three mod-(2^31-1) char folds (bases 257/263/269, two Lehmer mix
+    rounds each; 31+31+2 bits) → per-document majority vote per bit →
+    4×16-bit band blocking → all-pairs Hamming ≤ 3 within buckets →
+    min-label components → drop non-min cluster members."""
+    p = 2147483647
+
+    def tokhash(base: int) -> str:
+        fold = (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(str_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))), "
+            f"(x, y) -> (x * {base} + y) % {p})"
+        )
+        return f"((({fold}) * 48271 + 11) % {p} * 48271 + 11) % {p}"
+
+    return f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+),
+th AS (
+  SELECT doc_id, {tokhash(257)} AS h1, {tokhash(263)} AS h2, {tokhash(269)} AS h3
+  FROM tok
+),
+tj AS (
+  SELECT doc_id, h1, h2, h3, unnest(generate_series(0, 63)) AS j FROM th
+),
+contrib AS (
+  SELECT doc_id, j,
+         2 * (CASE WHEN j < 31 THEN (h1 >> j) & 1
+                   WHEN j < 62 THEN (h2 >> (j - 31)) & 1
+                   ELSE (h3 >> (j - 62)) & 1 END) - 1 AS c
+  FROM tj
+),
+grid AS (
+  SELECT d.doc_id, unnest(generate_series(0, 63)) AS j FROM documents d
+),
+acc AS (
+  SELECT g.doc_id, g.j, coalesce(sum(c.c), 0) AS s
+  FROM grid g LEFT JOIN contrib c ON c.doc_id = g.doc_id AND c.j = g.j
+  GROUP BY g.doc_id, g.j
+),
+bitv AS (
+  SELECT doc_id, j, CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit FROM acc
+),
+bands AS (
+  SELECT doc_id, j // 16 AS b,
+         sum(bit * (CAST(1 AS BIGINT) << (j % 16))) AS band_val
+  FROM bitv GROUP BY doc_id, j // 16
+),
+buckets AS (SELECT doc_id, band_val * 4 + b AS bucket FROM bands),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND b.doc_id > a.doc_id
+),
+ham AS (
+  SELECT p.ida, p.idb,
+         sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS d
+  FROM pairs p
+  JOIN bitv ba ON ba.doc_id = p.ida
+  JOIN bitv bb ON bb.doc_id = p.idb AND bb.j = ba.j
+  GROUP BY p.ida, p.idb
+),
+edges AS (SELECT ida AS src, idb AS dst FROM ham WHERE d <= 3),
+und AS (SELECT src AS s, dst AS d2 FROM edges UNION ALL SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT s AS node FROM und),
+cc AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT e.d2, cc.label FROM cc JOIN und e ON e.s = cc.node
+),
+dups AS (SELECT node FROM cc GROUP BY node HAVING min(label) < node)
+SELECT d.* FROM documents d WHERE d.doc_id NOT IN (SELECT node FROM dups)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from vat_abcd_crawler_ray.sources.synthetic import (
         EXTRACTED_TEXT_SQL,
@@ -1210,6 +1359,8 @@ def oracle_sql() -> dict[str, str]:
                             - length(list_intersect(a.grams, b.grams)), 0) AS jac
             FROM g a JOIN g b ON a.k = b.k AND a.doc_id < b.doc_id
         """,
+        "q_dedup_minhash": _minhash_oracle_sql(),
+        "q_dedup_simhash": _simhash_oracle_sql(),
         "q_count_distinct": """
             SELECT CAST(count(DISTINCT substr(text, 1, 10)) AS BIGINT) AS n
             FROM documents

@@ -43,7 +43,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from ..functions.urlkeys import murmur3_64, murmur3_64_batch
+from ..functions.urlkeys import murmur3_64_batch
 from ..ops.components import min_label_components
 from ..ops.joins import anti_join_keys
 
@@ -86,42 +86,60 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
+# Mersenne-prime modulus: every product a·h stays under 2^62, so the
+# whole MinHash family is exact int64 arithmetic on BOTH sides — numpy
+# here, BIGINT in the DuckDB oracle (uint64-wraparound hashing is not
+# SQL-expressible; this is what makes q_dedup_minhash hash-checkable).
+_MH_P = 2147483647  # 2^31 - 1
+_MH_CB = 257  # char-chain base (Unicode code points)
+_MH_B1 = 1000003  # band-fold bases (two folds → 62-bit bucket key)
+_MH_B2 = 1000033
+
+
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Carter-Wegman (a·h + b) mod P parameters, fixed seed — the
+    oracle SQL embeds these exact values as literals."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, 1 << 61, size=num_perm).astype(np.uint64) | np.uint64(1)
-    b = rng.randint(0, 1 << 61, size=num_perm).astype(np.uint64)
+    a = rng.randint(1, _MH_P, size=num_perm).astype(np.int64)
+    b = rng.randint(0, _MH_P, size=num_perm).astype(np.int64)
     return a, b
 
 
-_ROLL_P = np.uint64(1099511628211)  # FNV prime as the polynomial base
-
-
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """uint64 hashes of the k-byte shingle set — fully vectorized
-    polynomial rolling hash over the UTF-8 bytes (no per-shingle Python
-    loop), finalized with an fmix64-style avalanche."""
-    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
-    n = len(data)
+    """mod-P polynomial hashes of the k-CHARACTER shingle set (code
+    points via utf-32 reinterpret; k vectorized passes, no per-shingle
+    Python loop). A text shorter than k yields one whole-text hash."""
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    n = len(cp)
     if n < k:
-        return np.array([murmur3_64(text) & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
-    h = np.zeros(n - k + 1, dtype=np.uint64)
+        h = np.int64(0)
+        for c in cp:
+            h = (h * _MH_CB + c) % _MH_P
+        return np.array([h], dtype=np.int64)
+    h = np.zeros(n - k + 1, dtype=np.int64)
     for j in range(k):  # k (=5) vectorized passes, not n passes
-        h = h * _ROLL_P + data[j : n - k + 1 + j].astype(np.uint64)
-    # avalanche (murmur3 fmix64 constants) then dedupe
-    h ^= h >> np.uint64(33)
-    h *= np.uint64(0xFF51AFD7ED558CCD)
-    h ^= h >> np.uint64(33)
-    h *= np.uint64(0xC4CEB9FE1A85EC53)
-    h ^= h >> np.uint64(33)
+        h = (h * _MH_CB + cp[j : n - k + 1 + j]) % _MH_P
     return np.unique(h)
 
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """num_perm minima of the affine family a*x+b in uint64 (wraparound
-    multiply — the standard fast variant; uniformity is preserved and
-    determinism is exact)."""
-    v = a[:, None] * shingles[None, :] + b[:, None]
+    """num_perm minima of (a·h + b) mod P — exact int64, SQL-identical."""
+    v = (a[:, None] * shingles[None, :] + b[:, None]) % _MH_P
     return v.min(axis=1)
+
+
+def band_buckets(sig: np.ndarray, bands: int) -> np.ndarray:
+    """One int64 bucket key per band: two polynomial folds (bases B1,
+    B2) over [band, s0..s_{r-1}] combined as bh1·P + bh2 (< 2^62) — a
+    62-bit key, collision-safe at corpus scale and exactly reproducible
+    in SQL."""
+    rows = sig.reshape(bands, -1)
+    h1 = np.arange(bands, dtype=np.int64)
+    h2 = np.arange(bands, dtype=np.int64)
+    for r in range(rows.shape[1]):
+        h1 = (h1 * _MH_B1 + rows[:, r]) % _MH_P
+        h2 = (h2 * _MH_B2 + rows[:, r]) % _MH_P
+    return h1 * _MH_P + h2
 
 
 def word_ngrams(text: str, n: int = 3) -> set[tuple[str, ...]]:
@@ -196,22 +214,22 @@ def minhash_lsh_dedup(
     a, b = _perm_params(num_perm, seed)
 
     def sign(batch: pd.DataFrame) -> pd.DataFrame:
-        ids_rep, sig_rep, blobs = [], [], []
+        ids_rep, sig_rep, bucket_arrs = [], [], []
         for did, text in zip(batch[id_col], batch[text_col]):
             sig = minhash_signature(char_shingles(text, shingle_k), a, b)
             sig_bytes = sig.tobytes()
-            bh = sig.reshape(bands, rows_per_band)
-            for bi in range(bands):
-                ids_rep.append(did)
-                sig_rep.append(sig_bytes)
-                # bucket = murmur3(band ‖ band-signature): ONE int64
-                # carries the (band, band_hash) pair — single-key
-                # groupby instead of the pathological multi-key sort
-                blobs.append(bytes([bi]) + bh[bi].tobytes())
+            # ONE int64 bucket key carries the (band, band-signature)
+            # pair — single-key groupby instead of the pathological
+            # multi-key sort
+            bucket_arrs.append(band_buckets(sig, bands))
+            ids_rep.extend([did] * bands)
+            sig_rep.extend([sig_bytes] * bands)
         return pd.DataFrame(
             {
                 "id": np.asarray(ids_rep, dtype=np.int64),
-                "bucket": murmur3_64_batch(blobs),
+                "bucket": np.concatenate(bucket_arrs)
+                if bucket_arrs
+                else np.zeros(0, np.int64),
                 "sig": sig_rep,
             }
         )
@@ -236,7 +254,7 @@ def minhash_lsh_dedup(
         if len(g) < 2:
             return pd.DataFrame(_EMPTY_EDGES)
         ids = g["id"].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+        sigs = np.stack([np.frombuffer(s, dtype=np.int64) for s in g["sig"]])
         est = (sigs[1:] == sigs[0]).mean(axis=1)
         hit = np.flatnonzero(est >= threshold)
         return pd.DataFrame(
@@ -261,20 +279,61 @@ def minhash_lsh_dedup(
 _SHIFTS = np.arange(64, dtype=np.uint64)
 _BIT_WEIGHTS = np.left_shift(np.uint64(1), _SHIFTS)
 
+# Token-hash family for the 64 simhash bits, chosen to be exactly
+# SQL-reproducible (the q_dedup_simhash oracle): three mod-(2^31-1)
+# char-chain folds (bases 257/263/269) each scrambled by two Lehmer
+# rounds (h·48271 + 11 mod P — a full-period multiplicative mix, so
+# near-identical tokens still flip bits across the word), supplying
+# 31 + 31 + 2 = 64 bits.
+_SH_BASES = (257, 263, 269)
+_SH_MIX_A, _SH_MIX_C = 48271, 11
+
+
+def _segmented_poly(cp: np.ndarray, lens: np.ndarray, base: int) -> np.ndarray:
+    """(h·base + c) mod P fold per SEGMENT of the concatenated
+    code-point stream — evaluated as per-position power products +
+    ``np.add.reduceat`` (fully vectorized across all tokens)."""
+    from ..functions.textstats import _FP_P, _fp_powers
+
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    pos = np.arange(len(cp), dtype=np.int64)
+    exp = np.repeat(ends, lens) - 1 - pos
+    pw = _fp_powers(base, int(lens.max()) + 1)
+    vals = cp * pw[exp] % _FP_P
+    return np.add.reduceat(vals, starts) % _FP_P
+
+
+def _mix(h: np.ndarray) -> np.ndarray:
+    for _ in range(2):
+        h = (h * _SH_MIX_A + _SH_MIX_C) % _MH_P
+    return h
+
 
 def simhash64_batch(texts) -> np.ndarray:
     """Vectorized 64-bit simhash over whitespace tokens (unit weights):
-    ONE batched murmur3 over the flattened token stream, bit expansion
-    and per-document segment sums in numpy — no per-token Python loop
-    (the round-1 kernel hot spot)."""
+    token hashes from three segmented mod-P folds over ONE concatenated
+    code-point stream, bit expansion and per-document segment sums in
+    numpy — no per-token Python loop, and bit-for-bit reproducible by
+    the DuckDB oracle."""
     toks_per = [_TOKEN.findall(t) for t in texts]
     counts = np.fromiter((len(ts) for ts in toks_per), np.int64, len(toks_per))
     out = np.zeros(len(texts), dtype=np.int64)
     flat = [tok for ts in toks_per for tok in ts]
     if not flat:
         return out
-    h = murmur3_64_batch(flat).view(np.uint64)
-    bits = ((h[:, None] >> _SHIFTS) & np.uint64(1)).astype(np.int32) * 2 - 1
+    lens = np.fromiter((len(t) for t in flat), np.int64, len(flat))
+    cp = np.frombuffer("".join(flat).encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    h1, h2, h3 = (_mix(_segmented_poly(cp, lens, b)) for b in _SH_BASES)
+    bits = np.empty((len(flat), 64), dtype=np.int32)
+    for j in range(31):
+        bits[:, j] = (h1 >> j) & 1
+        bits[:, 31 + j] = (h2 >> j) & 1
+    bits[:, 62] = h3 & 1
+    bits[:, 63] = (h3 >> 1) & 1
+    bits = bits * 2 - 1
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     nz = np.flatnonzero(counts > 0)
     acc = np.add.reduceat(bits, starts[nz], axis=0)  # (n_nonzero, 64)
