@@ -1,0 +1,162 @@
+"""HTTP fetch tier (stages/fetch.py): retry/backoff/status-class
+semantics with an injected deterministic opener, and the crawl's
+``fetch_mode="http"`` integration."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from vat_abcd_crawler_ray.functions.urlkeys import murmur3_64
+from vat_abcd_crawler_ray.stages.fetch import FETCH_HTTP_ERROR, HttpFetchStage
+
+
+class ScriptedOpener:
+    """url → scripted list of (status, body) responses, in order; the
+    last entry repeats. Call counts are recorded."""
+
+    def __init__(self, script: dict):
+        self.script = script
+        self.calls: dict[str, int] = {}
+
+    def __call__(self, url: str):
+        n = self.calls.get(url, 0)
+        self.calls[url] = n + 1
+        responses = self.script[url]
+        status, body = responses[min(n, len(responses) - 1)]
+        if status == -1:
+            raise ConnectionError("boom")
+        return status, body
+
+
+def _run(stage: HttpFetchStage, urls: list[str]) -> pd.DataFrame:
+    out = stage(pa.table({"url": pa.array(urls, pa.string())}))
+    return out.to_pandas()
+
+
+class TestHttpFetchStage:
+    def test_success_and_permanent_and_transient(self):
+        op = ScriptedOpener(
+            {
+                "http://ok": [(200, b"body")],
+                "http://gone": [(404, b"")],
+                "http://flaky": [(503, b""), (200, b"late")],
+                "http://down": [(503, b"")],
+                "http://reset": [(-1, b""), (200, b"after-reset")],
+            }
+        )
+        stage = HttpFetchStage(op, max_attempts=3)
+        df = _run(stage, ["http://ok", "http://gone", "http://flaky",
+                          "http://down", "http://reset"]).set_index("url")
+
+        assert df.loc["http://ok", "html"] == b"body"
+        assert df.loc["http://ok", "fetch_attempts"] == 1
+        assert df.loc["http://ok", "fetch_error_kind"] is None
+
+        # 4xx: permanent, exactly ONE attempt, classified
+        assert df.loc["http://gone", "html"] is None
+        assert df.loc["http://gone", "fetch_attempts"] == 1
+        assert df.loc["http://gone", "fetch_error_kind"] == FETCH_HTTP_ERROR
+        assert op.calls["http://gone"] == 1
+
+        # transient 503 then 200: retried within the task
+        assert df.loc["http://flaky", "html"] == b"late"
+        assert df.loc["http://flaky", "fetch_attempts"] == 2
+
+        # transient exhausted after max_attempts
+        assert df.loc["http://down", "html"] is None
+        assert df.loc["http://down", "fetch_attempts"] == 3
+        assert op.calls["http://down"] == 3
+        assert "503" in df.loc["http://down", "fetch_error_message"]
+
+        # transport exception: transient, then success
+        assert df.loc["http://reset", "html"] == b"after-reset"
+        assert df.loc["http://reset", "fetch_attempts"] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_fetch_mode_http_matches_store(tmp_path):
+    from vat_abcd_crawler_ray.pipelines.crawl import CrawlRun, _read_parquet_dir
+    from vat_abcd_crawler_ray.sources.synthetic import corpus_dir
+
+    class CorpusOpener:
+        """Fetches from an in-memory page dict; urls present in the
+        corpus whose key % 7 == 0 fail with 503 on the FIRST attempt
+        (transient); absent urls are 404 (permanent). Defined locally
+        so cloudpickle ships it by value to the workers."""
+
+        def __init__(self, pages: dict):
+            self.pages = pages
+            self.calls: dict[str, int] = {}
+
+        def __call__(self, url: str):
+            n = self.calls.get(url, 0)
+            self.calls[url] = n + 1
+            body = self.pages.get(url)
+            if body is None:
+                return 404, b""
+            if murmur3_64(url) % 7 == 0 and n == 0:
+                return 503, b""
+            return 200, body
+
+    corpus = corpus_dir("/root/testdata/sf0.001")
+    pages = {
+        r["url"]: r["html"]
+        for r in pq.read_table(
+            os.path.join(corpus, "pages.parquet"), columns=["url", "html"]
+        ).to_pylist()
+    }
+
+    def fetch_log(run_dir):
+        base = os.path.join(str(run_dir), "staging", "extracted")
+        frames = []
+        for rnd in sorted(os.listdir(base)):
+            d = os.path.join(base, rnd, "record_type=dataset")
+            if os.path.isdir(d):
+                frames.append(
+                    _read_parquet_dir(d, columns=["url", "surrogate", "seq", "round"])
+                )
+        return (
+            pd.concat(frames, ignore_index=True)
+            .sort_values(["round", "seq"])
+            .reset_index(drop=True)
+        )
+
+    args = (
+        f"{corpus}/pages.parquet",
+        f"{corpus}/seeds.parquet",
+        f"{corpus}/politeness.parquet",
+    )
+    r_store = CrawlRun(*args, str(tmp_path / "store"))
+    r_store.run()
+    r_http = CrawlRun(
+        *args,
+        str(tmp_path / "http"),
+        fetch_mode="http",
+        http_opener=CorpusOpener(pages),
+    )
+    r_http.run()
+
+    # transient 503s are retried inside the fetch tasks, so the crawl
+    # (fetch order, seen set, surrogates) is IDENTICAL to store mode
+    pd.testing.assert_frame_equal(fetch_log(tmp_path / "store"), fetch_log(tmp_path / "http"))
+    pd.testing.assert_frame_equal(
+        r_store.seen.to_table().to_pandas(), r_http.seen.to_table().to_pandas()
+    )
+
+    # absent urls land as classified HTTP dead letters (404), not misses
+    err_dirs = []
+    base = os.path.join(str(tmp_path / "http"), "staging", "extracted")
+    for rnd in sorted(os.listdir(base)):
+        d = os.path.join(base, rnd, "record_type=error")
+        if os.path.isdir(d):
+            err_dirs.append(_read_parquet_dir(d, columns=["url", "error_kind", "error_message"]))
+    errs = pd.concat(err_dirs, ignore_index=True)
+    http_errs = errs[errs["error_kind"] == FETCH_HTTP_ERROR]
+    assert len(http_errs) > 0
+    assert http_errs["url"].str.contains("missing.example.org").all()
+    assert http_errs["error_message"].str.contains("404").all()

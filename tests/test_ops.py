@@ -19,8 +19,26 @@ from vat_abcd_crawler_ray.ops.joins import (
     broadcast_semi_join,
     bucket_hash_join,
 )
+from vat_abcd_crawler_ray.ops.sketches import (
+    hll_count_distinct,
+    hll_estimate,
+    hll_register_batch,
+)
 from vat_abcd_crawler_ray.ops.topk import topk_per_key
 from vat_abcd_crawler_ray.ops.zip_with_index import zip_with_index
+
+
+def test_hll_math_accuracy_and_merge():
+    for n in (100, 5000, 100000):
+        regs = np.zeros(1 << 12, np.uint8)
+        vals = [f"key-{i}" for i in range(n)]
+        for c in range(0, n, 7000):
+            np.maximum(regs, hll_register_batch(vals[c : c + 7000]), out=regs)
+        assert abs(hll_estimate(regs) - n) / n < 0.05
+    a = hll_register_batch([f"k{i}" for i in range(1000)])
+    b = hll_register_batch([f"k{i}" for i in range(500, 1500)])
+    est = hll_estimate(np.maximum(a, b))
+    assert abs(est - 1500) / 1500 < 0.05  # overlap not double-counted
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -87,6 +105,11 @@ class TestOps:
         got = dict(zip(ds["node"], ds["label"]))
         assert got == drv
         assert got[4] == 1 and got[13] == 10 and got[21] == 20 and got[32] == 30
+
+    def test_hll_count_distinct_dataset(self):
+        rows = [{"k": f"key-{i % 3000}"} for i in range(20000)]
+        est = hll_count_distinct(rd.from_items(rows).repartition(6), "k")
+        assert abs(est - 3000) / 3000 < 0.05
 
     def test_topk_per_key(self):
         rows = [

@@ -181,8 +181,9 @@ class CrawlRun:
         run_dir: str,
         settings: Settings | None = None,
         select_mode: str = "auto",  # auto | driver | distributed
-        fetch_mode: str = "store",  # store | scan
+        fetch_mode: str = "store",  # store | scan | http
         bootstrap_mode: str = "auto",  # auto | driver | distributed
+        http_opener=None,  # fetch_mode="http": opener(url)->(status, bytes)
     ):
         self.pages_path = pages_path
         self.seeds_path = seeds_path
@@ -191,6 +192,7 @@ class CrawlRun:
         self.select_mode = select_mode
         self.fetch_mode = fetch_mode
         self.bootstrap_mode = bootstrap_mode
+        self.http_opener = http_opener
         self._page_store = None
         self.manifest = RunManifest(run_dir)
         cc = self.settings.crawl
@@ -465,6 +467,27 @@ class CrawlRun:
             columns={"canonical_url": "url"}
         )
         meta = meta.assign(round=np.int64(rnd))
+
+        if self.fetch_mode == "http":
+            # the real-network tier (stages/fetch.py): task-pool fetch
+            # with retry/backoff/status classes; failed fetches flow to
+            # the extract stage as NULL bodies → dead-letter rows.
+            # Politeness holds because the selection already capped
+            # each host's rows this round.
+            from ..stages.fetch import HttpFetchStage
+
+            if self.http_opener is None:
+                raise ValueError('fetch_mode="http" requires http_opener')
+            ds = ray.data.from_arrow(pa.Table.from_pandas(meta, preserve_index=False))
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            nblocks = max(1, min(4 * ncpu, len(meta) // 64))
+            if nblocks > 1:
+                ds = ds.repartition(nblocks)  # meta rows are tiny
+            return ds.map_batches(
+                HttpFetchStage(self.http_opener),
+                batch_format="pyarrow",
+                batch_size=64,
+            )
 
         if self.fetch_mode == "scan":
             pages = ray.data.read_parquet(

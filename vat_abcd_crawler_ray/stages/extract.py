@@ -129,8 +129,34 @@ class ExtractStage:
             if "round" in batch.column_names
             else [None] * len(urls)
         )
+        fetch_kinds = (
+            batch["fetch_error_kind"].to_pylist()
+            if "fetch_error_kind" in batch.column_names
+            else [None] * len(urls)
+        )
+        fetch_msgs = (
+            batch["fetch_error_message"].to_pylist()
+            if "fetch_error_message" in batch.column_names
+            else [None] * len(urls)
+        )
         ix = self._index
-        for url, html, surrogate, seq, rnd in zip(urls, htmls, surrogates, seqs, rounds):
+        for url, html, surrogate, seq, rnd, fkind, fmsg in zip(
+            urls, htmls, surrogates, seqs, rounds, fetch_kinds, fetch_msgs
+        ):
+            if html is None:
+                # the fetch tier (stages/fetch.py) emits NULL bodies for
+                # failed fetches — classify as dead-letter rows here
+                # (C2: errors are data), carrying the HTTP error class
+                row = self._blank_row()
+                row[ix["record_type"]] = RECORD_ERROR
+                row[ix["url"]] = url
+                row[ix["surrogate"]] = surrogate
+                row[ix["seq"]] = seq
+                row[ix["round"]] = rnd
+                row[ix["error_kind"]] = fkind or "FetchMiss"
+                row[ix["error_message"]] = fmsg or "no page body"
+                rows.append(row)
+                continue
             try:
                 res = parse_abcd(
                     html,

@@ -1,0 +1,97 @@
+"""HTTP fetch tier — the S3 seam for REAL crawls
+(``/root/reference/src/file_downloader.rs:8-29``: GET → error on
+non-2xx status, one temp file per dataset).
+
+:class:`HttpFetchStage` is a ``map_batches`` body (task pool, NOT an
+actor holding connections hostage): each task fetches its batch's urls
+through an injected ``opener`` and emits one row per input row —
+either the page bytes or a classified fetch error. Politeness is
+enforced UPSTREAM by the round selection (per-host budgets), so tasks
+can fetch their batch at full parallelism; a batch never contains more
+urls for one host than that host's per-round budget.
+
+Error model (the reference's ``DownloadError`` classes, extended with
+industry-standard retry semantics):
+
+- 2xx → success, body kept;
+- 429 / 5xx → transient: retried up to ``max_attempts`` with
+  deterministic (non-wall-clock-seeded) exponential backoff;
+  exhausted retries → ``FetchHttpError``;
+- other statuses (4xx) → permanent, no retry → ``FetchHttpError``;
+- opener exceptions (DNS, timeout, connection reset) → transient.
+
+``opener(url) -> (status:int, body:bytes)`` is injected so the tier is
+testable without a network (this sandbox has none): tests drive it
+with a deterministic in-memory opener; production would pass a
+``urllib``/``requests`` opener built once per task. No live-network
+default is provided on purpose — constructing one here would be
+untestable dead code in this container.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import pyarrow as pa
+
+FETCH_OK = "ok"
+FETCH_HTTP_ERROR = "FetchHttpError"
+
+Opener = Callable[[str], tuple[int, bytes]]
+
+
+class HttpFetchStage:
+    """map_batches body: rows with a ``url`` column → same rows +
+    ``html`` (binary, NULL on failure), ``fetch_status`` (last HTTP
+    status, -1 for transport errors), ``fetch_attempts``,
+    ``fetch_error_kind`` / ``fetch_error_message`` (NULL on success).
+    """
+
+    def __init__(
+        self,
+        opener: Opener,
+        max_attempts: int = 3,
+        retry_statuses: tuple[int, ...] = (429, 500, 502, 503, 504),
+        backoff_base_s: float = 0.0,
+    ):
+        self.opener = opener
+        self.max_attempts = max_attempts
+        self.retry_statuses = frozenset(retry_statuses)
+        # 0.0 in tests/sandbox; production sets e.g. 0.5 → 0.5s, 1s, 2s
+        self.backoff_base_s = backoff_base_s
+
+    def _fetch_one(self, url: str) -> tuple[bytes | None, int, int, str | None]:
+        """→ (body | None, last_status, attempts, error_message | None)."""
+        status, err = -1, None
+        for attempt in range(1, self.max_attempts + 1):
+            try:
+                status, body = self.opener(url)
+            except Exception as exc:  # transport error: transient
+                status, err = -1, f"transport error: {exc}"
+            else:
+                if 200 <= status < 300:
+                    return body, status, attempt, None
+                err = f"HTTP status {status}"
+                if status not in self.retry_statuses:
+                    return None, status, attempt, err  # permanent
+            if attempt < self.max_attempts and self.backoff_base_s:
+                time.sleep(self.backoff_base_s * (2 ** (attempt - 1)))
+        return None, status, self.max_attempts, err
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls, statuses, attempts, kinds, msgs = [], [], [], [], []
+        for url in batch["url"].to_pylist():
+            body, status, n, err = self._fetch_one(url)
+            htmls.append(body)
+            statuses.append(status)
+            attempts.append(n)
+            kinds.append(None if err is None else FETCH_HTTP_ERROR)
+            msgs.append(err)
+        return (
+            batch.append_column("html", pa.array(htmls, pa.binary()))
+            .append_column("fetch_status", pa.array(statuses, pa.int32()))
+            .append_column("fetch_attempts", pa.array(attempts, pa.int32()))
+            .append_column("fetch_error_kind", pa.array(kinds, pa.string()))
+            .append_column("fetch_error_message", pa.array(msgs, pa.string()))
+        )
