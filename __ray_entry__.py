@@ -441,6 +441,73 @@ def _q_sliding_window(sf_dir: str):
     return out
 
 
+def _q_rolling_avg(sf_dir: str):
+    """Rolling mean over an ordered window (3 rows) per partition —
+    pandas rolling inside map_groups; exact because l_quantity is
+    integral-valued (window sums stay integers in fp). Partitioning
+    assumption: one l_returnflag partition fits one group."""
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"],
+    )
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        # (l_orderkey, l_linenumber) is NOT unique in this corpus —
+        # l_quantity breaks the tie; rows tying on all three are
+        # window-swap-invariant, so the result is order-independent
+        g = g.sort_values(
+            ["l_orderkey", "l_linenumber", "l_quantity"], kind="mergesort"
+        )
+        w = g["l_quantity"].rolling(3, min_periods=1)
+        # sum/count, not .mean(): pandas' incremental mean drifts in fp;
+        # the rolling SUM of integral doubles is exact, and sum/count is
+        # then the same single division DuckDB's window avg performs
+        avg = w.sum() / w.count()
+        return pd.DataFrame(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_orderkey": g["l_orderkey"],
+                "l_linenumber": g["l_linenumber"],
+                "rolling_avg_qty": avg,
+            }
+        )
+
+    return li.groupby("l_returnflag").map_groups(roll, batch_format="pandas")
+
+
+def _q_median(sf_dir: str):
+    """Exact per-group median (odd count → middle element, even →
+    mean of the two middles; both exact on integral doubles)."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "median_qty": [float(g["l_quantity"].median())],
+                "cnt": [np.int64(len(g))],
+            }
+        )
+
+    return li.groupby("l_returnflag").map_groups(med, batch_format="pandas")
+
+
+def _q_hash_sample(sf_dir: str):
+    """Deterministic hash sampling (the reproducible-split primitive
+    for training-data pipelines): keep documents whose content
+    fingerprint ≡ 0 (mod 20) — stable across runs, cluster shapes and
+    row order, unlike random_shuffle/limit."""
+    from vat_abcd_crawler_ray.functions.textstats import fingerprint
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        keep = fingerprint(df["text"]) % 20 == 0
+        return df.loc[keep, ["doc_id"]]
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
 def _q_asof_join(sf_dir: str):
     """Per click event, the most recent purchase (ts' <= ts) of the same
     user — sort within user groups + pandas merge_asof (the documented
@@ -893,6 +960,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_topk_per_key": _q_topk_per_key,
         "q_sliding_window": _q_sliding_window,
         "q_asof_join": _q_asof_join,
+        "q_rolling_avg": _q_rolling_avg,
+        "q_median": _q_median,
+        "q_hash_sample": _q_hash_sample,
         # crawl / extraction
         "q_extract_titles": _q_extract_titles,
         "q_extract_units": _q_extract_units,
@@ -1246,6 +1316,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, window_start, CAST(count(*) AS BIGINT) AS cnt
             FROM w GROUP BY event_type, window_start
+        """,
+        "q_rolling_avg": """
+            SELECT l_returnflag, l_orderkey, l_linenumber,
+                   avg(l_quantity) OVER (
+                     PARTITION BY l_returnflag
+                     ORDER BY l_orderkey, l_linenumber, l_quantity
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS rolling_avg_qty
+            FROM lineitem
+        """,
+        "q_median": """
+            SELECT l_returnflag,
+                   CAST(median(l_quantity) AS DOUBLE) AS median_qty,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_hash_sample": """
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(regexp_extract_all(text, '\\S+'),
+                           t -> list_reduce(
+                                  list_prepend(CAST(0 AS BIGINT),
+                                    list_transform(str_split(t, ''),
+                                                   c -> CAST(ascii(c) AS BIGINT))),
+                                  (a, b) -> (a * 257 + b) % 2147483647)
+                         )),
+                       (a, b) -> (a * 1000003 + b) % 2147483647) AS fp
+              FROM documents)
+            WHERE fp % 20 = 0
         """,
         "q_asof_join": """
             SELECT c.event_id, c.user_id, p.ts AS asof_purchase_ts
