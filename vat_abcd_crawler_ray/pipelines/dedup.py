@@ -160,20 +160,39 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 _EMPTY_EDGES = {"src": pd.Series(dtype=np.int64), "dst": pd.Series(dtype=np.int64)}
 
 
-def _hot_buckets(signed: "ray.data.Dataset") -> np.ndarray:
-    """Bucket ids with ≥2 members, via per-batch PARTIAL counts combined
-    on the driver (≤ one row per distinct bucket per batch — the hot
-    set itself is duplicate-bounded, tiny relative to the corpus). Both
-    a per-group map_groups (~0.1 ms Python per group over mostly-
-    singleton buckets) and Ray's sort-based groupby-count (measured
-    37 s on 80k rows) are pathological at this shape; at 10^11-bucket
-    scale the combine becomes a tree reduce over the partial tables."""
+def _hot_buckets(
+    signed: "ray.data.Dataset", driver_limit: int = 5_000_000
+) -> np.ndarray:
+    """Bucket ids with ≥2 members, via per-batch PARTIAL counts (≤ one
+    row per distinct bucket per batch). The HOT set itself is
+    duplicate-bounded — tiny relative to the corpus — so it always
+    returns driver-side (it is broadcast next); only the COMBINE of
+    partials switches: below ``driver_limit`` partial rows a pandas
+    combine (a per-group map_groups over mostly-singleton buckets
+    costs ~0.1 ms Python each, and Ray's sort-based groupby-count
+    measured 37 s on 80k rows — both pathological here), above it a
+    distributed ``groupby(bucket).sum`` so the driver never holds the
+    full bucket-count table."""
     partials = signed.map_batches(
         lambda df: df.groupby("bucket", sort=False).size().reset_index(name="n"),
         batch_format="pandas",
-    ).to_pandas()
-    totals = partials.groupby("bucket", sort=False)["n"].sum()
-    return totals[totals >= 2].index.to_numpy(dtype=np.int64)
+    ).materialize()
+    if partials.count() <= driver_limit:
+        pdf = partials.to_pandas()
+        totals = pdf.groupby("bucket", sort=False)["n"].sum()
+        return totals[totals >= 2].index.to_numpy(dtype=np.int64)
+    from ray.data.aggregate import Sum
+
+    hot = (
+        partials.groupby("bucket")
+        .aggregate(Sum("n", alias_name="total"))
+        .map_batches(
+            lambda df: df.loc[df["total"] >= 2, ["bucket"]],
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return hot["bucket"].to_numpy(dtype=np.int64)
 
 
 def _drop_duplicate_ids(
