@@ -212,3 +212,24 @@ def test_parser_total_on_arbitrary_bytes(data):
         assert isinstance(res.units, list)
     except (AbcdParseError, AbcdNoDatasetMetadata):
         pass
+
+
+def test_builtin_registry_equals_reference_spec_file():
+    """The built-in 36-field registry is BYTE-IDENTICAL to the
+    reference's shipped schema (/root/reference/abcd-fields.json) —
+    name, numeric flag, mandatory flags, global/unit split, unit
+    string, in spec order."""
+    from vat_abcd_crawler_ray.functions.fields import FieldRegistry
+
+    ref = FieldRegistry.from_json_file("/root/reference/abcd-fields.json")
+    builtin = FieldRegistry()
+
+    def rows(reg):
+        return [
+            (f.name, f.numeric, f.vat_mandatory, f.gfbio_mandatory,
+             f.global_field, f.unit)
+            for f in reg
+        ]
+
+    assert rows(ref) == rows(builtin)
+    assert len(builtin) == 36
