@@ -604,6 +604,19 @@ def _q_token_stats(sf_dir: str):
     return docs.map_batches(f, batch_format="pandas")
 
 
+def _q_normalize(sf_dir: str):
+    from vat_abcd_crawler_ray.functions.textstats import normalize_text
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "norm_text": normalize_text(df["text"])}
+        )
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
 def _q_quality(sf_dir: str):
     from vat_abcd_crawler_ray.functions.textstats import quality_features
 
@@ -982,6 +995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_minhash": _q_dedup_minhash,
         "q_dedup_simhash": _q_dedup_simhash,
         "q_token_stats": _q_token_stats,
+        "q_normalize": _q_normalize,
         "q_quality": _q_quality,
         "q_langid": _q_langid,
         "q_fingerprint": _q_fingerprint,
@@ -1480,6 +1494,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars_calc,
                    CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "q_normalize": """
+            SELECT doc_id,
+                   lower(trim(regexp_replace(text, '[ \\t\\r\\n]+', ' ', 'g'),
+                              ' ')) AS norm_text
             FROM documents
         """,
         "q_quality": f"""

@@ -33,6 +33,17 @@ STOPWORDS: dict[str, frozenset[str]] = {
 _LANG_ORDER = ["en", "de", "fr"]  # tie precedence, fixed
 
 
+_WS_RUN = re.compile(r"[ \t\r\n]+")
+
+
+def normalize_text(texts: pd.Series) -> pd.Series:
+    """Canonical text cleaning for dedup/training prep: collapse
+    whitespace runs to single spaces, strip, lowercase. Vectorized
+    pandas ``.str`` ops; SQL-identical (DuckDB
+    ``lower(trim(regexp_replace(...)))`` — verified incl. Unicode)."""
+    return texts.str.replace(_WS_RUN, " ", regex=True).str.strip(" ").str.lower()
+
+
 def token_count(texts: pd.Series) -> np.ndarray:
     """Whitespace tokens per text (= DuckDB
     ``length(regexp_extract_all(text, '\\S+'))``)."""
