@@ -58,7 +58,8 @@ _TOKEN = re.compile(
     rb"|<\?[^>]*\?>"
     rb"|</([^>]*)>"
     rb"|<([^>]*)>"
-    rb"|([^<]+)",
+    rb"|([^<]+)"
+    rb"|(<)",  # bare '<' forming no token: malformed-markup sentinel
     re.DOTALL,
 )
 
@@ -139,15 +140,18 @@ def parse_abcd(
     units: list[dict[str, object]] = []
     version = ABCD_VERSION_UNKNOWN
 
-    pos = 0
-    n = len(xml_bytes)
+    # Every byte matches SOME alternative (text eats non-'<' runs, the
+    # markup branches eat well-formed constructs, and the final bare-'<'
+    # branch catches what nothing else can), so the token stream has no
+    # gaps by construction — malformed markup surfaces as group 4
+    # instead of a per-token position check (which cost two C calls per
+    # event on the hot path).
     for m in _TOKEN.finditer(xml_bytes):
-        if m.start() != pos:
-            raise AbcdParseError(f"unparsable markup at byte {pos}")
-        pos = m.end()
         gi = m.lastindex  # 1=end tag, 2=start tag, 3=text, None=ignored
         if gi is None:
             continue  # CDATA / comment / decl / PI — ignored events
+        if gi == 4:
+            raise AbcdParseError(f"unparsable markup at byte {m.start()}")
         if gi == 3:
             t = m.group(3).strip(_WS)  # trim_text(true)
             if not t:
@@ -192,9 +196,6 @@ def parse_abcd(
             if name == b"Unit" and path == b"/DataSets/DataSet/Units":
                 units.append(values)
                 values = {}
-
-    if pos != n and xml_bytes[pos:].strip(_WS):
-        raise AbcdParseError(f"trailing unparsable bytes at {pos}")
 
     if dataset_data is None:
         raise AbcdNoDatasetMetadata("ABCD file contains no dataset metadata.")
