@@ -8,7 +8,12 @@ import pytest
 
 import ray.data as rd
 
-from vat_abcd_crawler_ray.pipelines.similarity import knn_bruteforce, knn_lsh
+from vat_abcd_crawler_ray.pipelines.similarity import (
+    kmeans_fit,
+    knn_bruteforce,
+    knn_ivf,
+    knn_lsh,
+)
 from vat_abcd_crawler_ray.stages.multimodal import (
     DecodeImageStage,
     FrameSampleStage,
@@ -76,6 +81,50 @@ class TestKnn:
             hits += len(got & want)
             total += len(want)
         assert hits / total > 0.3  # 2-bit LSH: ~1/4 of space probed
+
+    def test_kmeans_deterministic_and_unit_norm(self):
+        rows = _corpus(n=300)
+        c1 = kmeans_fit(rd.from_items(rows).repartition(4), k=8, iters=4)
+        c2 = kmeans_fit(rd.from_items(rows).repartition(4), k=8, iters=4)
+        assert np.allclose(c1, c2)
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+    def test_ivf_recall_and_exactness_at_full_probe(self):
+        # clustered data: IVF cells align with true clusters
+        rng = np.random.RandomState(11)
+        centers = rng.normal(size=(6, 16)) * 4
+        rows = [
+            {"vec_id": i, "embedding": (centers[i % 6] + rng.normal(size=16)).tolist()}
+            for i in range(360)
+        ]
+        queries = pd.DataFrame(
+            {
+                "query_id": list(range(8)),
+                "vector": [rows[i]["embedding"] for i in range(8)],
+            }
+        )
+        exact = _exact_topk(rows, queries, 5)
+        approx = knn_ivf(
+            rd.from_items(rows).repartition(4), queries, k=5,
+            n_cells=6, n_probe=2, iters=4,
+        ).to_pandas()
+        hits = total = 0
+        for qid in range(8):
+            got = set(approx[approx["query_id"] == qid]["neighbor_id"])
+            hits += len(got & set(exact[qid]))
+            total += 5
+        assert hits / total > 0.8  # probing 2/6 cells on clustered data
+
+        # n_probe = n_cells ⇒ every cell probed ⇒ exact top-k
+        full = knn_ivf(
+            rd.from_items(rows).repartition(4), queries, k=5,
+            n_cells=6, n_probe=6, iters=4,
+        ).to_pandas()
+        for qid in range(8):
+            got = full[full["query_id"] == qid].sort_values(
+                ["cos", "neighbor_id"], ascending=[False, True]
+            )["neighbor_id"].tolist()
+            assert got == exact[qid]
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -38,6 +38,8 @@ def cmd_crawl(args: argparse.Namespace) -> int:
     run = CrawlRun(
         args.pages, args.seeds, args.politeness, args.out, settings=settings,
         select_mode=args.select_mode,
+        fetch_mode=args.fetch_mode,
+        bootstrap_mode=args.bootstrap_mode,
     )
     metrics = run.run(resume=args.resume)
     if args.tables:
@@ -90,6 +92,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--tables", action="store_true", help="also write final tables")
     c.add_argument("--select-mode", default="auto",
                    choices=["auto", "driver", "distributed"])
+    c.add_argument("--bootstrap-mode", default="auto",
+                   choices=["auto", "driver", "distributed"])
+    c.add_argument("--fetch-mode", default="store", choices=["store", "scan"],
+                   help='page-table fetch tier ("http" is library-only: '
+                        'it needs an opener callable)')
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_crawl)
 

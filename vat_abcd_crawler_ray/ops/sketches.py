@@ -24,7 +24,8 @@ def hll_register_batch(values, p: int = 12) -> np.ndarray:
     regs = np.zeros(m, dtype=np.uint8)
     if len(values) == 0:
         return regs
-    h = murmur3_64_batch(list(values)).view(np.uint64)
+    items = [v if isinstance(v, (str, bytes)) else str(v) for v in values]
+    h = murmur3_64_batch(items).view(np.uint64)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = h << np.uint64(p)  # remaining 64-p bits, left aligned
     # rank = position of first 1-bit in the remaining stream, 1-based;

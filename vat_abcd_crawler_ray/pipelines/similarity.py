@@ -5,11 +5,17 @@
   emits only its per-query partial top-k (combiner), the tiny final
   merge runs per query. Scales as a single pass over the corpus with
   k·Q rows through the reduce.
-- :func:`knn_lsh` — the scale path: random-hyperplane LSH bucketing
+- :func:`knn_lsh` — scale path 1: random-hyperplane LSH bucketing
   (sign bits → bucket id); each query probes only its bucket (and
   optionally neighboring buckets), turning the scan into a partition-
   pruned lookup. Recall < 1 by construction — measured in tests, not
   hidden.
+- :func:`kmeans_fit` + :func:`knn_ivf` — scale path 2 (IVF): a few
+  distributed Lloyd iterations (broadcast centroids in, KB-sized
+  per-batch (sum, count) partials out — one pass per iteration), then
+  rows partition by nearest centroid and each query probes its
+  ``n_probe`` nearest cells. Deterministic: centroid init = the k
+  smallest-id vectors, no randomness anywhere.
 """
 
 from __future__ import annotations
@@ -77,6 +83,131 @@ def knn_bruteforce(
 
     return (
         ds.map_batches(partial, batch_format="pandas")
+        .groupby(query_id_col)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def kmeans_fit(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 5,
+) -> np.ndarray:
+    """Spherical k-means (cosine) by distributed Lloyd iterations.
+
+    Each iteration: centroids broadcast once (``ray.put``); every batch
+    assigns its rows by max dot product and emits per-cell (sum, count)
+    partials — k·dim floats per batch regardless of batch size; the
+    driver combines partials and renormalizes. Empty cells keep their
+    previous centroid. Returns (k, dim) unit-norm centroids."""
+    init = (
+        ds.select_columns([id_col, vec_col]).sort(id_col).limit(k).to_pandas()
+    )
+    cents = _normalize(_as_matrix(init[vec_col]))
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(ref)
+            m = _normalize(_as_matrix(df[vec_col]))
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            cnts = np.bincount(assign, minlength=len(c))
+            return pd.DataFrame(
+                {
+                    "cell": np.arange(len(c)),
+                    "vsum": list(sums),
+                    "cnt": cnts,
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        sums = np.zeros_like(cents)
+        cnts = np.zeros(len(cents), dtype=np.int64)
+        for cell, vsum, cnt in zip(parts["cell"], parts["vsum"], parts["cnt"]):
+            sums[cell] += np.asarray(vsum)
+            cnts[cell] += cnt
+        nonempty = cnts > 0
+        cents = cents.copy()
+        cents[nonempty] = _normalize(sums[nonempty])
+    return cents
+
+
+def knn_ivf(
+    ds: "ray.data.Dataset",
+    queries: pd.DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> "ray.data.Dataset":
+    """IVF approximate top-k: corpus rows partition by nearest
+    centroid (ONE cell-id shuffle); each query is answered from its
+    ``n_probe`` nearest cells, then a tiny per-query merge picks the
+    global top-k. Recall grows with n_probe (n_probe = n_cells ⇒
+    exact)."""
+    cents = kmeans_fit(ds, vec_col, id_col, n_cells, iters)
+    qm = _normalize(_as_matrix(queries["vector"]))
+    qids = queries[query_id_col].to_numpy()
+    # each query's probe cells: top-n_probe centroid dots
+    order = np.argsort(-(qm @ cents.T), axis=1, kind="stable")
+    probes = order[:, :n_probe]  # (Q, n_probe)
+    q_ref = ray.put((qids, qm, probes))
+    cents_ref = ray.put(cents)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cents_ref)
+        m = _normalize(_as_matrix(df[vec_col]))
+        return df.assign(__cell=np.argmax(m @ c.T, axis=1))
+
+    def per_cell(group: pd.DataFrame) -> pd.DataFrame:
+        qids_, qm_, probes_ = ray.get(q_ref)
+        cell = group["__cell"].iloc[0]
+        sel = np.flatnonzero((probes_ == cell).any(axis=1))
+        if len(sel) == 0:
+            return pd.DataFrame(
+                {
+                    query_id_col: pd.Series(dtype=np.int64),
+                    "neighbor_id": pd.Series(dtype=np.int64),
+                    "cos": pd.Series(dtype=np.float64),
+                }
+            )
+        ids = group[id_col].to_numpy()
+        m = _normalize(_as_matrix(group[vec_col]))
+        sim = qm_[sel] @ m.T
+        out_q, out_n, out_c = [], [], []
+        for row, qi in enumerate(sel):
+            s, nb = sim[row], ids
+            if exclude_self:
+                keep = nb != qids_[qi]
+                s, nb = s[keep], nb[keep]
+            top = min(k, len(s))
+            order_ = np.lexsort((nb, -s))[:top]
+            out_q.extend([qids_[qi]] * top)
+            out_n.extend(nb[order_])
+            out_c.extend(s[order_])
+        return pd.DataFrame(
+            {query_id_col: out_q, "neighbor_id": out_n, "cos": out_c}
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["cos", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        )
+        return g.head(k)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("__cell")
+        .map_groups(per_cell, batch_format="pandas")
         .groupby(query_id_col)
         .map_groups(merge, batch_format="pandas")
     )
