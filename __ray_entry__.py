@@ -869,6 +869,24 @@ def _q_knn_lsh(sf_dir: str):
     )
 
 
+def _q_knn_ivf(sf_dir: str):
+    """IVF kNN in its exactness configuration (n_probe = n_cells ⇒
+    every cell probed) so the whole k-means + cell-shuffle + probe +
+    merge machinery is hash-checked against the exact top-k oracle;
+    the pruned-probe recall path is covered by tests."""
+    from vat_abcd_crawler_ray.pipelines.similarity import knn_ivf
+
+    emb = _read(sf_dir, "embeddings")
+    qdf = pd.read_parquet(_t(sf_dir, "embeddings"))
+    qdf = qdf[qdf["vec_id"] < 5]
+    queries = pd.DataFrame(
+        {"query_id": qdf["vec_id"], "vector": qdf["embedding"].tolist()}
+    )
+    return knn_ivf(
+        emb, queries, k=5, n_cells=4, n_probe=4, iters=3
+    ).select_columns(["query_id", "neighbor_id"])
+
+
 def _q_multimodal_features(sf_dir: str):
     """REAL image decode path, oracle-gated end to end: deterministic
     constant-color PPM bytes (size and color derived from doc_id) →
@@ -1002,6 +1020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embed_neardup": _q_embed_neardup,
         "q_knn": _q_knn,
         "q_knn_lsh": _q_knn_lsh,
+        "q_knn_ivf": _q_knn_ivf,
         "q_multimodal_features": _q_multimodal_features,
         "q_audio_features": _q_audio_features,
     }
@@ -1607,6 +1626,19 @@ def oracle_sql() -> dict[str, str]:
                                   AND ((val >= 0) <> (prev >= 0))
                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
             FROM x GROUP BY doc_id
+        """,
+        "q_knn_ivf": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])) AS cos
+                  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+            r AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbor_id) AS rn
+                  FROM s)
+            SELECT query_id, neighbor_id FROM r WHERE rn <= 5
         """,
         "q_knn": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
