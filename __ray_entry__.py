@@ -231,6 +231,85 @@ def _q_hash_join(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_totalprice", "c_name"])
 
 
+def _q_left_join(sf_dir: str):
+    """LEFT outer bucketed join: every customer row survives; customers
+    without orders carry NULLs (nullability preserved through the
+    Arrow-typed merge)."""
+    from vat_abcd_crawler_ray.ops.joins import bucket_hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(500000.0)))
+        .rename_columns(["o_orderkey", "c_custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    out = bucket_hash_join(cust, big, on="c_custkey", num_buckets=16, how="left")
+    return out.select_columns(["c_custkey", "c_name", "o_orderkey", "o_totalprice"])
+
+
+def _q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(returnflag, linestatus) as a union of partial-
+    combined groupbys at each grouping level (the distributed rollup
+    pattern: no wide-row explosion, each level reuses the previous
+    level's partials driver-side would be smaller still — here each
+    level is its own partial-combine pass for clarity)."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(level_cols):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(level_cols, sort=False)["l_quantity"].sum()
+            return g.reset_index(name="psum")
+
+        return f
+
+    def finish(df: pd.DataFrame, flag, status) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "l_returnflag": df[flag] if flag else pd.Series([None] * len(df), dtype=object),
+                "l_linestatus": df[status] if status else pd.Series([None] * len(df), dtype=object),
+                "sum_qty": df["psum"],
+            }
+        )
+        return out
+
+    lvl2 = (
+        li.map_batches(partial(["l_returnflag", "l_linestatus"]), batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("psum", alias_name="psum"))
+        .map_batches(lambda df: finish(df, "l_returnflag", "l_linestatus"), batch_format="pandas")
+    )
+    lvl1 = (
+        li.map_batches(partial(["l_returnflag"]), batch_format="pandas")
+        .groupby("l_returnflag")
+        .aggregate(Sum("psum", alias_name="psum"))
+        .map_batches(lambda df: finish(df, "l_returnflag", None), batch_format="pandas")
+    )
+    import ray.data
+
+    # lvl0: per-batch partial sums reduced to ONE grand-total row
+    lvl0 = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "l_returnflag": pd.Series([None], dtype=object),
+                "l_linestatus": pd.Series([None], dtype=object),
+                "sum_qty": [
+                    float(
+                        li.map_batches(
+                            lambda df: pd.DataFrame({"psum": [df["l_quantity"].sum()]}),
+                            batch_format="pandas",
+                        )
+                        .sum("psum")
+                    )
+                ],
+            }
+        )
+    )
+    return lvl2.union(lvl1).union(lvl0)
+
+
 def _q_native_join(sf_dir: str):
     """Same join as q_hash_join but via Ray Data's built-in
     hash-partitioned ``Dataset.join`` (API coverage alongside the
@@ -980,6 +1059,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_groupby_exists_flag": _q_groupby_exists_flag,
         "q_hash_join": _q_hash_join,
         "q_native_join": _q_native_join,
+        "q_left_join": _q_left_join,
+        "q_rollup": _q_rollup,
         "q_broadcast_join": _q_broadcast_join,
         "q_topk": _q_topk,
         "q_window_tumbling": _q_window_tumbling,
@@ -1287,6 +1368,17 @@ def oracle_sql() -> dict[str, str]:
         "q_broadcast_join": """
             SELECT n.n_name, r.r_name
             FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        """,
+        "q_left_join": """
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+            FROM customer c LEFT JOIN (
+              SELECT * FROM orders WHERE o_totalprice > 500000.0
+            ) o ON o.o_custkey = c.c_custkey
+        """,
+        "q_rollup": """
+            SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "q_topk": """
             SELECT o_orderkey, o_totalprice FROM orders
