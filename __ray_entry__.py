@@ -3,9 +3,14 @@
 ``entry()`` runs the flagship crawl on sf0.001. ``queries()`` exposes one
 callable per implemented operator family (SURVEY.md §2 + the
 training-data extensions); ``oracle_sql()`` gives the DuckDB-equivalent
-SQL for every SQL-expressible one. Column names match exactly between
-the Ray results and the SQL (the driver hashes values under sorted
-column names).
+SQL for EVERY query — as of round 2 none is rows-only: iterative/whole-
+program semantics (the crawl) diff against the independent sequential
+simulator's emitted tables, hash-family ops (fingerprint, MinHash,
+SimHash) use mod-(2^31-1) arithmetic re-derivable in SQL, and the
+multimodal/audio decode paths run over deterministic media whose
+features reduce to doc_id arithmetic. Column names match exactly
+between the Ray results and the SQL (the driver hashes values under
+sorted column names).
 
 Float-safety rules used throughout (so value hashes match bit-for-bit):
 - aggregate SUM/AVG only over integral-valued doubles (exact in IEEE)
