@@ -525,6 +525,60 @@ def _q_sliding_window(sf_dir: str):
     return out
 
 
+def _q_explode_tokens(sf_dir: str):
+    """Row explosion (1 row → N rows): documents → one row per
+    whitespace token with its position. flat_map semantics expressed as
+    a VECTORIZED map_batches (np.repeat ids + concatenated aranges) —
+    never ``ds.flat_map`` (a per-row Python call) on a hot stage."""
+    import re
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    tok = re.compile(r"\S+")
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        toks_per = [tok.findall(t) for t in df["text"]]
+        counts = np.fromiter((len(ts) for ts in toks_per), np.int64, len(toks_per))
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), counts),
+                "token_idx": np.concatenate(
+                    [np.arange(c, dtype=np.int64) for c in counts]
+                )
+                if len(counts)
+                else np.zeros(0, np.int64),
+                "token": [t for ts in toks_per for t in ts],
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def _q_pivot(sf_dir: str):
+    """Pivot event counts into per-type columns: per-batch partial
+    pivot (combiner) → single-key groupby sum — the wide schema is
+    static, so no two-pass distinct-key discovery is needed."""
+    from ray.data.aggregate import Sum
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"user_id": df["user_id"]}
+        for t in types:
+            out[f"n_{t}"] = (df["event_type"] == t).astype(np.int64)
+        return pd.DataFrame(out).groupby("user_id", sort=False).sum().reset_index()
+
+    agg = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types])
+    )
+    return agg.map_batches(
+        lambda df: df.astype({f"n_{t}": np.int64 for t in types}),
+        batch_format="pandas",
+    )
+
+
 def _q_rolling_avg(sf_dir: str):
     """Rolling mean over an ordered window (3 rows) per partition —
     pandas rolling inside map_groups; exact because l_quantity is
@@ -1077,6 +1131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_topk_per_key": _q_topk_per_key,
         "q_sliding_window": _q_sliding_window,
         "q_asof_join": _q_asof_join,
+        "q_explode_tokens": _q_explode_tokens,
+        "q_pivot": _q_pivot,
         "q_rolling_avg": _q_rolling_avg,
         "q_median": _q_median,
         "q_hash_sample": _q_hash_sample,
@@ -1446,6 +1502,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, window_start, CAST(count(*) AS BIGINT) AS cnt
             FROM w GROUP BY event_type, window_start
+        """,
+        "q_explode_tokens": """
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, CAST(length(toks) AS BIGINT))) AS i
+              FROM t
+            )
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS token_idx, toks[i] AS token
+            FROM s
+        """,
+        "q_pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
         """,
         "q_rolling_avg": """
             SELECT l_returnflag, l_orderkey, l_linenumber,

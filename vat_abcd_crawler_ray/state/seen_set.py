@@ -81,11 +81,25 @@ class SeenSetShard:
         for i in np.flatnonzero(maybe_seen):
             if int(keys[i]) in self.exact:  # true positive
                 fresh[i] = False
-        for i in np.flatnonzero(fresh):
-            k, s = int(keys[i]), int(seqs[i])
-            prev = self.pending.get(k)
-            if prev is None or s < prev:
-                self.pending[k] = s
+        idx = np.flatnonzero(fresh)
+        if len(idx):
+            # within-call min-seq per key VECTORIZED (lexsort + first
+            # occurrence), then one bulk dict update; the per-key
+            # prev-min comparison only runs when pending already holds
+            # entries (a second offer within the same round)
+            k, s = keys[idx], seqs[idx]
+            order = np.lexsort((s, k))
+            k, s = k[order], s[order]
+            first = np.concatenate([[True], k[1:] != k[:-1]])
+            k, s = k[first], s[first]
+            pend = self.pending
+            if pend:
+                for kk, ss in zip(k.tolist(), s.tolist()):
+                    prev = pend.get(kk)
+                    if prev is None or ss < prev:
+                        pend[kk] = ss
+            else:
+                pend.update(zip(k.tolist(), s.tolist()))
         return fresh
 
     def commit_round(self) -> pa.Table:
