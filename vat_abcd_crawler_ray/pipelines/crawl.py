@@ -153,6 +153,31 @@ def _project_round_blocks(*tables: pa.Table) -> tuple[pa.Table, pa.Table]:
     return got_t, link_t, n_raw
 
 
+@ray.remote(num_cpus=0.5)
+def _write_round_blocks(out_dir: str, task_idx: int, *tables: pa.Table) -> int:
+    """Write a group of extracted blocks as hive-partitioned parquet
+    (``record_type=X/part-{task_idx}.parquet``, partition column
+    dropped from the files — the same layout ``write_parquet(
+    partition_cols=...)`` produces). Submitted as plain tasks so the
+    round's write IO runs CONCURRENTLY with link admission and the
+    next round's selection; the deferred manifest commit joins the
+    futures before the round becomes durable."""
+    t = pa.concat_tables(tables)
+    written = 0
+    for rt in pc.unique(t["record_type"]).to_pylist():
+        sub = t.filter(pc.equal(t["record_type"], rt)).drop_columns(
+            ["record_type"]
+        )
+        d = os.path.join(out_dir, f"record_type={rt}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            sub, os.path.join(d, f"part-{task_idx:05d}.parquet"),
+            compression="zstd",
+        )
+        written += sub.num_rows
+    return written
+
+
 @dataclass
 class CrawlMetrics:
     rounds: int = 0
@@ -579,6 +604,7 @@ class CrawlRun:
         out_dir = self.extracted_dir(rnd)
         n_fetched = n_miss = 0
         links = pd.DataFrame()
+        write_futs: list = []
         phase_t: dict[str, float] = {}
         t0 = _now()
         if not winners.empty:
@@ -611,19 +637,18 @@ class CrawlRun:
                 _project_round_blocks.remote(*blocks[i : i + 8])
                 for i in range(0, len(blocks), 8)
             ]
-
-            # capped write concurrency + zstd: the sink disk is a
-            # SHARED serial resource — 64 concurrent snappy writers
-            # measurably thrashed it (write wall was higher at 32 CPUs
-            # than at 8); fewer writers × smaller bytes keeps the disk
-            # out of the round's critical path. On a multi-node cluster
-            # each node writes locally, so the cap scales with nodes.
-            extracted.write_parquet(
-                out_dir,
-                partition_cols=["record_type"],
-                compression="zstd",
-                concurrency=16,
-            )
+            # Writes leave the critical path entirely: grouped write
+            # tasks (8 blocks each — a handful of concurrent zstd
+            # writers; 64 snappy writers measurably thrashed the ONE
+            # shared sandbox disk) run through admission and the next
+            # round's selection; the deferred commit joins them before
+            # the round is durable (uncommitted rounds replay on
+            # resume, so a crash mid-write is safe).
+            os.makedirs(out_dir, exist_ok=True)
+            write_futs = [
+                _write_round_blocks.remote(out_dir, wi, *blocks[i : i + 8])
+                for wi, i in enumerate(range(0, len(blocks), 8))
+            ]
             phase_t["write"] = _now() - t0
             t0 = _now()
             parts = ray.get(futs)
@@ -754,7 +779,7 @@ class CrawlRun:
         # point, so the per-round serial path carries neither the
         # snapshot IO nor the commit fsync.
         self._flush_pending_commit()
-        snap_futs = self.seen.snapshot_async(self.seen_dir(rnd))
+        snap_futs = self.seen.snapshot_async(self.seen_dir(rnd)) + write_futs
         phase_t["snapshot"] = _now() - t0
         self.metrics.rounds = rnd + 1
         self.metrics.fetched += n_fetched
