@@ -35,6 +35,17 @@ Selection has two equivalent implementations (tested identical):
 
 Resume: every round commit records outputs + a seen-set snapshot; a
 restarted run replays from the first uncommitted round.
+
+Driver-memory bound: the per-round WINNER set (and the fetch meta
+built from it) is POLITENESS-BOUNDED — at most Σ(per-host budget) rows
+per round regardless of frontier or corpus size (a 10^10-URL frontier
+with 10^5 hosts × budget 100 still selects ≤ 10^7 winners/round) — so
+holding it as a driver frame is a config-bounded cost, not a
+data-scaled one. The unbounded collections (frontier, links, extracted
+rows, seen set) never materialize on the driver: frontier stays on
+disk / in Datasets, links arrive pre-deduplicated per projection task,
+extracted blocks are written and projected remotely, and the seen set
+lives in shard actors.
 """
 
 from __future__ import annotations
