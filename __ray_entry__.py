@@ -458,7 +458,10 @@ def _q_multi_join_agg(sf_dir: str):
 
 
 def _q_distinct(sf_dir: str):
-    """DISTINCT via per-batch partial dedup + tiny driver combine."""
+    """DISTINCT via per-batch partial dedup + tiny driver combine —
+    right when the distinct cardinality is small (each batch emits at
+    most |distinct| rows); high-cardinality distincts use the
+    groupby-count path (q_count_distinct) or the HLL sketch."""
     li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
     parts = li.map_batches(
         lambda df: df.drop_duplicates(), batch_format="pandas"
@@ -496,7 +499,8 @@ def _q_topk_per_key(sf_dir: str):
 
 def _q_sliding_window(sf_dir: str):
     """2h windows sliding by 1h: each event lands in 2 windows (explode),
-    then partial counts per batch + small final combine."""
+    then partial counts per batch + small final combine (bounded by
+    event_types × time-range windows — a dimension, not the data)."""
     ev = _read(sf_dir, "events", ["event_type", "ts"])
 
     def explode_and_count(df: pd.DataFrame) -> pd.DataFrame:
@@ -715,14 +719,28 @@ def _q_seen_first_wins(sf_dir: str):
     seeds = ray.data.read_parquet(os.path.join(d, "seeds.parquet")).map_batches(
         keyed_frontier_batch, batch_format="pyarrow"
     )
-    fw = first_wins_dataset(seeds, "key", "seq").to_pandas()
-    canon = (
-        seeds.select_columns(["key", "canonical_url"])
-        .to_pandas()
-        .drop_duplicates("key")
+    # join the first-wins winners back to their representative seed row
+    # on (key, seq == first_seq) — exactly one row per key, no driver
+    # materialization of the seed set (the distributed-bootstrap shape)
+    fw = first_wins_dataset(seeds, "key", "seq")
+    joined = seeds.join(
+        fw,
+        join_type="inner",
+        num_partitions=8,
+        on=("key", "seq"),
+        right_on=("key", "first_seq"),
     )
-    out = fw.merge(canon, on="key", how="inner")
-    return out[["canonical_url", "first_seq", "surrogate"]]
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "canonical_url": t["canonical_url"],
+                "first_seq": t["seq"],
+                "surrogate": t["surrogate"],
+            }
+        )
+
+    return joined.map_batches(proj, batch_format="pyarrow")
 
 
 def _q_token_stats(sf_dir: str):
