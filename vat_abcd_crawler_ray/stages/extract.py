@@ -106,12 +106,41 @@ class ExtractStage:
         self.schema = output_schema(self.registry)
         self._names = self.schema.names
         self._index = {n: i for i, n in enumerate(self._names)}
+        # per-stream column layouts: each record type touches only a
+        # subset of the union schema, so rows are assembled at their
+        # OWN width and the untouched union columns become pa.nulls
+        # (C-side, zero Python objects) at table-build time
+        self._meta5 = ["record_type", "url", "surrogate", "seq", "round"]
+        self._ds_cols = self._meta5 + [
+            "dataset_id", "dataset_path", "dataset_landing_page",
+            "dataset_provider", "abcd_version",
+        ] + [f.name for f in self.registry.global_fields()]
+        self._unit_cols = self._meta5 + ["geom_wkt"] + [
+            f.name for f in self.registry.unit_fields()
+        ]
+        self._link_cols = self._meta5 + ["link_url", "link_idx"]
+        self._err_cols = self._meta5 + ["error_kind", "error_message"]
+        self._ds_index = {n: i for i, n in enumerate(self._ds_cols)}
+        self._unit_index = {n: i for i, n in enumerate(self._unit_cols)}
 
-    def _blank_row(self) -> list:
-        return [None] * len(self._names)
+    def _stream_table(self, rows: list[list], cols: list[str]) -> pa.Table:
+        """rows (aligned with ``cols``) → a table in the FULL union
+        schema, absent columns as C-side null arrays."""
+        n = len(rows)
+        vals = dict(zip(cols, zip(*rows)))
+        arrays = [
+            pa.array(list(vals[name]), type=f.type)
+            if name in vals
+            else pa.nulls(n, f.type)
+            for name, f in zip(self._names, self.schema)
+        ]
+        return pa.table(arrays, schema=self.schema)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows: list[list] = []
+        ds_rows: list[list] = []
+        unit_rows: list[list] = []
+        link_rows: list[list] = []
+        err_rows: list[list] = []
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
         surrogates = (
@@ -139,7 +168,10 @@ class ExtractStage:
             if "fetch_error_message" in batch.column_names
             else [None] * len(urls)
         )
-        ix = self._index
+        dsx = self._ds_index
+        unx = self._unit_index
+        n_ds_cols = len(self._ds_cols)
+        n_unit_cols = len(self._unit_cols)
         for url, html, surrogate, seq, rnd, fkind, fmsg in zip(
             urls, htmls, surrogates, seqs, rounds, fetch_kinds, fetch_msgs
         ):
@@ -147,15 +179,10 @@ class ExtractStage:
                 # the fetch tier (stages/fetch.py) emits NULL bodies for
                 # failed fetches — classify as dead-letter rows here
                 # (C2: errors are data), carrying the HTTP error class
-                row = self._blank_row()
-                row[ix["record_type"]] = RECORD_ERROR
-                row[ix["url"]] = url
-                row[ix["surrogate"]] = surrogate
-                row[ix["seq"]] = seq
-                row[ix["round"]] = rnd
-                row[ix["error_kind"]] = fkind or "FetchMiss"
-                row[ix["error_message"]] = fmsg or "no page body"
-                rows.append(row)
+                err_rows.append(
+                    [RECORD_ERROR, url, surrogate, seq, rnd,
+                     fkind or "FetchMiss", fmsg or "no page body"]
+                )
                 continue
             try:
                 res = parse_abcd(
@@ -170,86 +197,85 @@ class ExtractStage:
                 if self.result_hook is not None:
                     res = self.result_hook(res)
             except (AbcdParseError, AbcdNoDatasetMetadata) as e:
-                row = self._blank_row()
-                row[ix["record_type"]] = RECORD_ERROR
-                row[ix["url"]] = url
-                row[ix["surrogate"]] = surrogate
-                row[ix["seq"]] = seq
-                row[ix["round"]] = rnd
-                row[ix["error_kind"]] = type(e).__name__
-                row[ix["error_message"]] = str(e)
-                rows.append(row)
+                err_rows.append(
+                    [RECORD_ERROR, url, surrogate, seq, rnd,
+                     type(e).__name__, str(e)]
+                )
                 continue
 
-            drow = self._blank_row()
-            drow[ix["record_type"]] = RECORD_DATASET
-            drow[ix["url"]] = url
-            drow[ix["surrogate"]] = surrogate
-            drow[ix["seq"]] = seq
-            drow[ix["round"]] = rnd
-            drow[ix["dataset_id"]] = res.dataset_id
-            drow[ix["dataset_path"]] = res.dataset_path
-            drow[ix["dataset_landing_page"]] = res.landing_page
-            drow[ix["dataset_provider"]] = res.provider_name
-            drow[ix["abcd_version"]] = res.version
+            drow = [None] * n_ds_cols
+            drow[0] = RECORD_DATASET
+            drow[1] = url
+            drow[2] = surrogate
+            drow[3] = seq
+            drow[4] = rnd
+            drow[dsx["dataset_id"]] = res.dataset_id
+            drow[dsx["dataset_path"]] = res.dataset_path
+            drow[dsx["dataset_landing_page"]] = res.landing_page
+            drow[dsx["dataset_provider"]] = res.provider_name
+            drow[dsx["abcd_version"]] = res.version
             for path, value in res.dataset.items():
-                j = ix.get(path)
+                j = dsx.get(path)
                 if j is not None:
                     drow[j] = value
-            rows.append(drow)
+            ds_rows.append(drow)
 
             link_idx = 0
             for unit in res.units:
-                urow = self._blank_row()
-                urow[ix["record_type"]] = RECORD_UNIT
-                urow[ix["url"]] = url
-                urow[ix["surrogate"]] = surrogate
-                urow[ix["seq"]] = seq
-                urow[ix["round"]] = rnd
+                urow = [None] * n_unit_cols
+                urow[0] = RECORD_UNIT
+                urow[1] = url
+                urow[2] = surrogate
+                urow[3] = seq
+                urow[4] = rnd
                 for path, value in unit.items():
-                    j = ix.get(path)
+                    j = unx.get(path)
                     if j is not None:
                         urow[j] = value
                 lon = unit.get(LONGITUDE_PATH)
                 lat = unit.get(LATITUDE_PATH)
                 if lon is not None and lat is not None:
-                    urow[ix["geom_wkt"]] = (
+                    urow[5] = (  # geom_wkt
                         f"POINT({format_vat_value(lon)} {format_vat_value(lat)})"
                     )
-                rows.append(urow)
+                unit_rows.append(urow)
 
                 link = unit.get(LINK_FIELD)
                 if isinstance(link, str) and link_idx < self.link_cap:
-                    lrow = self._blank_row()
-                    lrow[ix["record_type"]] = RECORD_LINK
-                    lrow[ix["url"]] = url
-                    lrow[ix["surrogate"]] = surrogate
-                    lrow[ix["seq"]] = seq
-                    lrow[ix["round"]] = rnd
-                    lrow[ix["link_url"]] = link
-                    lrow[ix["link_idx"]] = link_idx
-                    rows.append(lrow)
+                    link_rows.append(
+                        [RECORD_LINK, url, surrogate, seq, rnd, link, link_idx]
+                    )
                     link_idx += 1
 
-        if not rows:
-            return self.schema.empty_table()
-        # vectorized link keying over this batch's link rows
-        link_rows = [
-            i for i, r in enumerate(rows) if r[ix["record_type"]] == RECORD_LINK
-        ]
+        parts = []
+        if err_rows:
+            parts.append(self._stream_table(err_rows, self._err_cols))
+        if ds_rows:
+            parts.append(self._stream_table(ds_rows, self._ds_cols))
+        if unit_rows:
+            parts.append(self._stream_table(unit_rows, self._unit_cols))
         if link_rows:
+            # vectorized link keying over this batch's link rows
             from ..functions.urlkeys import canonicalize_batch, url_keys_batch
 
-            canon = canonicalize_batch([rows[i][ix["link_url"]] for i in link_rows])
+            canon = canonicalize_batch([r[5] for r in link_rows])
             keys = url_keys_batch(canon)
-            hosts = [host_of(c) for c in canon]
-            jc, jk, jh = ix["link_canonical"], ix["link_key"], ix["link_host"]
-            for i, c, k, h in zip(link_rows, canon, keys, hosts):
-                rows[i][jc] = c
-                rows[i][jk] = int(k)
-                rows[i][jh] = h
-        cols = list(zip(*rows))
-        return pa.table(
-            [pa.array(list(c), type=f.type) for c, f in zip(cols, self.schema)],
-            schema=self.schema,
-        )
+            cols = dict(zip(self._link_cols, zip(*link_rows)))
+            n = len(link_rows)
+            extra = {
+                "link_canonical": pa.array(canon, pa.string()),
+                "link_key": pa.array(keys),
+                "link_host": pa.array([host_of(c) for c in canon], pa.string()),
+            }
+            arrays = []
+            for name, f in zip(self._names, self.schema):
+                if name in cols:
+                    arrays.append(pa.array(list(cols[name]), type=f.type))
+                elif name in extra:
+                    arrays.append(extra[name])
+                else:
+                    arrays.append(pa.nulls(n, f.type))
+            parts.append(pa.table(arrays, schema=self.schema))
+        if not parts:
+            return self.schema.empty_table()
+        return pa.concat_tables(parts)
