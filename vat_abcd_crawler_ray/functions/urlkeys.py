@@ -227,9 +227,20 @@ def murmur3_64_batch(items, seed: int = 0, chunk: int = 512) -> np.ndarray:
     data = [s.encode("utf-8") if isinstance(s, str) else s for s in items]
     lens = np.fromiter((len(b) for b in data), dtype=np.int64, count=n)
     order = np.argsort(lens, kind="stable")
-    for c0 in range(0, n, chunk):
-        idx = order[c0 : c0 + chunk]
+    # chunk by row count AND padded bytes: hashing whole documents
+    # (exact_dedup) must not allocate a rows × max-doc-length pad
+    # buffer — cap each chunk's buffer at ~32 MB
+    max_bytes = 32 << 20
+    c0 = 0
+    while c0 < n:
+        c1 = min(c0 + chunk, n)
+        # lens are ascending along `order`; the last element bounds all
+        row_pad = int(lens[order[c1 - 1]]) + 32
+        if row_pad * (c1 - c0) > max_bytes:
+            c1 = c0 + max(1, max_bytes // row_pad)
+        idx = order[c0:c1]
         out[idx] = _m3_chunk([data[i] for i in idx], lens[idx], seed)
+        c0 = c1
     return out
 
 
