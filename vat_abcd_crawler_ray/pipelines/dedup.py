@@ -254,7 +254,7 @@ def minhash_lsh_dedup(
         )
 
     signed = ds.select_columns([id_col, text_col]).map_batches(
-        sign, batch_format="pandas"
+        sign, batch_format="pandas", batch_size=512  # bound signature RAM
     )
     signed = signed.materialize()  # consumed twice (hot count + filter)
 
@@ -398,7 +398,7 @@ def simhash_dedup(
         return pd.concat(parts, ignore_index=True)
 
     signed = ds.select_columns([id_col, text_col]).map_batches(
-        sign, batch_format="pandas"
+        sign, batch_format="pandas", batch_size=512  # bound bit-matrix RAM
     )
     signed = signed.materialize()
 
