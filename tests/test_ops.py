@@ -84,6 +84,49 @@ class TestOps:
         out = bucket_hash_join(left, right, on="k", num_buckets=3).to_pandas()
         assert len(out) == 10
 
+    def test_bucket_hash_join_randomized_vs_pandas(self):
+        """5 seeded random shapes (dup keys, skew, partial overlap,
+        empty intersections) — inner and left joins must equal the
+        pandas merge oracle row-for-row."""
+        for seed in range(5):
+            rng = np.random.RandomState(seed)
+            nl, nr = rng.randint(1, 60, size=2)
+            ldf = pd.DataFrame(
+                {
+                    "k": rng.randint(0, 20, size=nl),
+                    "l": rng.randint(-100, 100, size=nl),
+                }
+            )
+            rdf = pd.DataFrame(
+                {
+                    "k": rng.randint(10, 30, size=nr),
+                    "r": rng.randint(-100, 100, size=nr),
+                }
+            )
+            for how in ("inner", "left"):
+                got = (
+                    bucket_hash_join(
+                        rd.from_pandas(ldf).repartition(3),
+                        rd.from_pandas(rdf).repartition(2),
+                        on="k",
+                        num_buckets=4,
+                        how=how,
+                    )
+                    .to_pandas()
+                    .sort_values(["k", "l", "r"], na_position="last")
+                    .reset_index(drop=True)
+                )
+                want = (
+                    ldf.merge(rdf, on="k", how=how)
+                    .sort_values(["k", "l", "r"], na_position="last")
+                    .reset_index(drop=True)
+                )
+                assert len(got) == len(want), (seed, how)
+                for c in ("k", "l", "r"):
+                    ga = got[c].to_numpy(dtype=np.float64, na_value=np.nan)
+                    wa = want[c].to_numpy(dtype=np.float64, na_value=np.nan)
+                    assert np.allclose(ga, wa, equal_nan=True), (seed, how, c)
+
     def test_anti_join_keys_broadcast_vs_bucketed(self):
         big = rd.from_items([{"k": i, "v": i * 2} for i in range(40)])
         keys = rd.from_items([{"k": i} for i in range(0, 40, 3)])
