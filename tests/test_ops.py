@@ -154,6 +154,45 @@ class TestOps:
         est = hll_count_distinct(rd.from_items(rows).repartition(6), "k")
         assert abs(est - 3000) / 3000 < 0.05
 
+    def test_components_randomized_graphs(self):
+        """Random sparse graphs (3 seeds): the Dataset label-propagation
+        path must match the driver loop AND a union-find reference."""
+        for seed in range(3):
+            rng = np.random.RandomState(seed)
+            n_edges = rng.randint(5, 40)
+            edges = pd.DataFrame(
+                {
+                    "src": rng.randint(0, 30, size=n_edges),
+                    "dst": rng.randint(0, 30, size=n_edges),
+                }
+            )
+            drv = components_driver(edges)
+            ds = components_dataset(
+                rd.from_pandas(edges).repartition(2)
+            ).to_pandas()
+            got = dict(zip(ds["node"], ds["label"]))
+            assert got == drv, seed
+
+            # independent union-find reference
+            parent: dict = {}
+
+            def find(x):
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for s_, d_ in zip(edges["src"], edges["dst"]):
+                ra, rb = find(int(s_)), find(int(d_))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            want = {x: find(x) for x in parent}
+            # union-find roots are component minima only if we always
+            # attach the larger root under the smaller (done above)
+            assert {k: v for k, v in got.items()} == {
+                k: want[k] for k in got
+            }, seed
+
     def test_topk_per_key(self):
         rows = [
             {"host": f"h{i % 4}", "priority": (i * 7) % 13, "seq": i}
