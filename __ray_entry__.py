@@ -10,7 +10,10 @@ SimHash) use mod-(2^31-1) arithmetic re-derivable in SQL, and the
 multimodal/audio decode paths run over deterministic media whose
 features reduce to doc_id arithmetic. Column names match exactly
 between the Ray results and the SQL (the driver hashes values under
-sorted column names).
+sorted column names). Exactly 50 queries: the driver records at most
+50 CORRECTNESS rows (round 2 exposed 51 and the last entry silently
+got none), so the image and audio decode queries are merged into one
+chained pipeline (``q_multimodal_features``).
 
 Float-safety rules used throughout (so value hashes match bit-for-bit):
 - aggregate SUM/AVG only over integral-valued doubles (exact in IEEE)
@@ -1044,39 +1047,68 @@ def _q_knn_ivf(sf_dir: str):
 
 
 def _q_multimodal_features(sf_dir: str):
-    """REAL image decode path, oracle-gated end to end: deterministic
-    constant-color PPM bytes (size and color derived from doc_id) →
-    netpbm header parse + pixel load + nearest resize in an actor pool
-    (``decoder="ppm"``) → per-channel means. The oracle recomputes the
-    expected source dims and channel means from doc_id arithmetic, so a
-    decode offset/shape bug breaks the hash."""
-    from vat_abcd_crawler_ray.functions.codecs import encode_ppm
-    from vat_abcd_crawler_ray.stages.multimodal import DecodeImageStage
+    """REAL image + audio decode paths, oracle-gated end to end, in ONE
+    chained pipeline: deterministic constant-color PPM bytes AND PCM-16
+    WAV clips (both derived from doc_id arithmetic) → netpbm header
+    parse + pixel load + nearest resize (``DecodeImageStage``,
+    ``decoder="ppm"``) → RIFF chunk walk + integer audio features
+    (``AudioFeatureStage``), both actor-pool stages over the same
+    stream. Merged from the round-2 ``q_multimodal_features`` +
+    ``q_audio_features`` pair: the driver records at most 50
+    CORRECTNESS rows, and as the 51st entry the audio query silently
+    got none — one joint query keeps BOTH real decode paths inside the
+    gate. The oracle recomputes source dims, channel means and the
+    exact integer audio features from doc_id arithmetic, so a decode
+    offset/shape/sign bug in either codec breaks the hash."""
+    from vat_abcd_crawler_ray.functions.codecs import encode_ppm, encode_wav
+    from vat_abcd_crawler_ray.stages.multimodal import (
+        AudioFeatureStage,
+        DecodeImageStage,
+    )
 
     docs = _read(sf_dir, "documents", ["doc_id"])
 
     def to_media(t: pa.Table) -> pa.Table:
-        blobs = []
+        imgs, wavs = [], []
         for i in t["doc_id"].to_pylist():
             h, w = 6 + i % 3, 8 + i % 5
             img = np.empty((h, w, 3), np.uint8)
             img[..., 0] = i % 256
             img[..., 1] = (i * 7) % 256
             img[..., 2] = (i * 13) % 256
-            blobs.append(encode_ppm(img))
+            imgs.append(encode_ppm(img))
+            n = 200 + i % 100
+            k = np.arange(n, dtype=np.int64)
+            v = ((i * 31 + k * 7) % 2048 - 1024).astype(np.int16)
+            wavs.append(encode_wav(v, 8000 + (i % 4) * 4000))
         return pa.table(
-            {"doc_id": t["doc_id"], "media": pa.array(blobs, pa.binary())}
+            {
+                "doc_id": t["doc_id"],
+                "media": pa.array(imgs, pa.binary()),
+                "wav": pa.array(wavs, pa.binary()),
+            }
         )
 
-    # fractional num_cpus: the actor pool must not reserve the whole
+    # fractional num_cpus: the actor pools must not reserve the whole
     # (small) cluster — leave CPUs for the read and projection tasks.
-    decoded = docs.map_batches(to_media, batch_format="pyarrow").map_batches(
-        DecodeImageStage,
-        fn_constructor_kwargs={"out_hw": (16, 16), "decoder": "ppm"},
-        batch_format="pyarrow",
-        batch_size=64,
-        concurrency=2,
-        num_cpus=0.5,
+    decoded = (
+        docs.map_batches(to_media, batch_format="pyarrow")
+        .map_batches(
+            DecodeImageStage,
+            fn_constructor_kwargs={"out_hw": (16, 16), "decoder": "ppm"},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=2,
+            num_cpus=0.5,
+        )
+        .map_batches(
+            AudioFeatureStage,
+            fn_constructor_kwargs={"media_col": "wav"},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=2,
+            num_cpus=0.5,
+        )
     )
 
     def feats(t: pa.Table) -> pa.Table:
@@ -1091,40 +1123,14 @@ def _q_multimodal_features(sf_dir: str):
                 "mean_r": pa.array(means[:, 0], pa.float64()),
                 "mean_g": pa.array(means[:, 1], pa.float64()),
                 "mean_b": pa.array(means[:, 2], pa.float64()),
+                "n_samples": t["n_samples"],
+                "sample_rate": t["sample_rate"],
+                "sum_abs": t["sum_abs"],
+                "zero_crossings": t["zero_crossings"],
             }
         )
 
     return decoded.map_batches(feats, batch_format="pyarrow")
-
-
-def _q_audio_features(sf_dir: str):
-    """REAL audio decode path, oracle-gated: deterministic PCM-16 WAV
-    clips (samples = ((doc_id*31 + k*7) mod 2048) - 1024) → RIFF chunk
-    walk + sample load + integer features in an actor pool. All outputs
-    are exact integers, reproduced by the oracle from doc_id arithmetic."""
-    from vat_abcd_crawler_ray.functions.codecs import encode_wav
-    from vat_abcd_crawler_ray.stages.multimodal import AudioFeatureStage
-
-    docs = _read(sf_dir, "documents", ["doc_id"])
-
-    def to_media(t: pa.Table) -> pa.Table:
-        blobs = []
-        for i in t["doc_id"].to_pylist():
-            n = 200 + i % 100
-            k = np.arange(n, dtype=np.int64)
-            v = ((i * 31 + k * 7) % 2048 - 1024).astype(np.int16)
-            blobs.append(encode_wav(v, 8000 + (i % 4) * 4000))
-        return pa.table(
-            {"doc_id": t["doc_id"], "media": pa.array(blobs, pa.binary())}
-        )
-
-    return docs.map_batches(to_media, batch_format="pyarrow").map_batches(
-        AudioFeatureStage,
-        batch_format="pyarrow",
-        batch_size=64,
-        concurrency=2,
-        num_cpus=0.5,
-    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1182,7 +1188,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_lsh": _q_knn_lsh,
         "q_knn_ivf": _q_knn_ivf,
         "q_multimodal_features": _q_multimodal_features,
-        "q_audio_features": _q_audio_features,
     }
 
 
@@ -1789,15 +1794,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id FROM r WHERE rn <= 5
         """,
         "q_multimodal_features": """
-            SELECT doc_id,
-                   CAST(6 + doc_id % 3 AS INTEGER) AS src_height,
-                   CAST(8 + doc_id % 5 AS INTEGER) AS src_width,
-                   CAST(doc_id % 256 AS DOUBLE) AS mean_r,
-                   CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
-                   CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
-            FROM documents
-        """,
-        "q_audio_features": """
             WITH s AS (
               SELECT d.doc_id AS doc_id,
                      unnest(generate_series(0, CAST(199 + d.doc_id % 100 AS BIGINT))) AS k
@@ -1809,15 +1805,26 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, val,
                      lag(val) OVER (PARTITION BY doc_id ORDER BY k) AS prev
               FROM v
+            ), a AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_samples,
+                     CAST(sum(abs(val)) AS BIGINT) AS sum_abs,
+                     CAST(sum(CASE WHEN prev IS NOT NULL
+                                    AND ((val >= 0) <> (prev >= 0))
+                              THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+              FROM x GROUP BY doc_id
             )
-            SELECT doc_id,
-                   CAST(count(*) AS BIGINT) AS n_samples,
-                   CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
-                   CAST(sum(abs(val)) AS BIGINT) AS sum_abs,
-                   CAST(sum(CASE WHEN prev IS NOT NULL
-                                  AND ((val >= 0) <> (prev >= 0))
-                            THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
-            FROM x GROUP BY doc_id
+            SELECT d.doc_id,
+                   CAST(6 + d.doc_id % 3 AS INTEGER) AS src_height,
+                   CAST(8 + d.doc_id % 5 AS INTEGER) AS src_width,
+                   CAST(d.doc_id % 256 AS DOUBLE) AS mean_r,
+                   CAST((d.doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+                   CAST((d.doc_id * 13) % 256 AS DOUBLE) AS mean_b,
+                   a.n_samples,
+                   CAST(8000 + (d.doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+                   a.sum_abs,
+                   a.zero_crossings
+            FROM documents d JOIN a ON a.doc_id = d.doc_id
         """,
         "q_knn_ivf": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -253,13 +253,18 @@ def _machine_ceiling(lo: int, hi: int) -> float:
     return (measure(hi) / measure(lo)) / (hi / lo)
 
 
-def run_scaling(lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
+def run_scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> dict:
     """Same job, two fresh processes per parallelism level, same input.
 
     Takes the MIN over ``reps`` repetitions per level (standard practice
     to suppress noisy-neighbor interference — the sandbox host carries
-    background load). Efficiency = (t_lo/t_hi)/(hi/lo), 1.0 = linear.
-    """
+    background load; override with BENCH_SCALING_REPS, default 3).
+    Efficiency = (t_lo/t_hi)/(hi/lo), 1.0 = linear. The output includes
+    the big-round crawl's PER-PHASE second budget at both levels, so
+    the serial fraction behind any sub-linear ratio is quantified, not
+    guessed."""
+    if reps is None:
+        reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     for _ in range(reps):
         for ncpu in (lo, hi):
@@ -310,6 +315,16 @@ def run_scaling(lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
     big_lo = min(big[lo], key=lambda r: r["value"])
     big_hi = min(big[hi], key=lambda r: r["value"])
 
+    def phase_budget(run_res: dict) -> dict:
+        """Total seconds per crawl phase across the run's rounds —
+        the quantified serial/parallel decomposition."""
+        totals: dict[str, float] = {}
+        for rnd in run_res.get("phase_sec", []):
+            for k, v in rnd.items():
+                if k != "round":
+                    totals[k] = round(totals.get(k, 0.0) + v, 3)
+        return totals
+
     blo, bhi = best(lo), best(hi)
     speedup = hi / lo
     per_query_eff = {
@@ -345,7 +360,10 @@ def run_scaling(lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
             f"fetched_per_sec_{hi}": big_hi["fetched_per_sec"],
             "fetched": big_hi["fetched"],
             "rounds": big_hi["rounds"],
+            f"phase_sec_{lo}": phase_budget(big_lo),
+            f"phase_sec_{hi}": phase_budget(big_hi),
         },
+        "reps": reps,
         "sf": runs[hi][0]["sf"],
         "num_cpus": hi,
     }

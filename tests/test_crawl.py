@@ -111,6 +111,22 @@ class TestCrawl:
         pd.testing.assert_frame_equal(f1, f2)
         assert md.fetched == mx.fetched
 
+    def test_driver_vs_distributed_admission(self, corpus, tmp_path):
+        """The distributed link admission (groupby-min first-wins +
+        shard-parallel seen anti-filter + sort/zip seq-surrogate
+        assignment + Dataset-written frontier) must produce the same
+        run as the driver admission: identical seen set, fetch order
+        and metrics."""
+        rd_ = _mk_run(corpus, tmp_path / "drv", admission_mode="driver")
+        md = rd_.run()
+        rx = _mk_run(corpus, tmp_path / "dist", admission_mode="distributed")
+        mx = rx.run()
+        pd.testing.assert_frame_equal(_seen_table(rd_), _seen_table(rx))
+        pd.testing.assert_frame_equal(
+            _fetch_log(tmp_path / "drv"), _fetch_log(tmp_path / "dist")
+        )
+        assert md.as_dict() == mx.as_dict()
+
     def test_driver_vs_distributed_bootstrap(self, corpus, tmp_path):
         """The streaming seed bootstrap (groupby-min + join + sort +
         dense numbering, no driver DataFrame) must produce the same
@@ -176,6 +192,56 @@ class TestCrawl:
         merged = got.merge(pages, on="url", how="left")
         assert len(merged) == len(got)
         assert (merged[title_col] == merged["text"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("select_mode", ["driver", "distributed"])
+def test_all_robots_denied_round_completes(tmp_path, select_mode):
+    """Regression: a round where EVERY frontier row is robots-denied
+    (zero winners, no links table) must complete cleanly — the old
+    admission guard crashed on `pd.DataFrame().num_rows`."""
+    import pyarrow as pa
+
+    corpus = tmp_path / "corpus"
+    os.makedirs(corpus)
+    urls = [f"https://deny.example.org/doc/{i}" for i in range(6)]
+    pq.write_table(
+        pa.table(
+            {
+                "url": urls,
+                "warc_ts": pa.array([0] * len(urls), pa.timestamp("us")),
+                "html": pa.array([b"<x/>"] * len(urls), pa.binary()),
+                "text": ["t"] * len(urls),
+                "lang": ["en"] * len(urls),
+            }
+        ),
+        str(corpus / "pages.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "url": urls,
+                "priority": [0.5] * len(urls),
+                "seq": pa.array(range(len(urls)), pa.int64()),
+            }
+        ),
+        str(corpus / "seeds.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "host": ["deny.example.org"],
+                "max_fetches_per_round": pa.array([8], pa.int64()),
+                "robots_disallow_prefix": ["/"],  # denies every path
+            }
+        ),
+        str(corpus / "politeness.parquet"),
+    )
+    run = _mk_run(str(corpus), tmp_path / "run", select_mode=select_mode)
+    metrics = run.run()
+    assert metrics.fetched == 0
+    assert metrics.robots_denied == len(urls)
+    assert run.manifest.published()["status"] == "published"
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -183,3 +183,59 @@ def test_crawl_fetch_mode_scan_matches_store(tmp_path):
     pd.testing.assert_frame_equal(
         r_store.seen.to_table().to_pandas(), r_scan.seen.to_table().to_pandas()
     )
+
+
+class TestUrllibOpenerFactory:
+    """Production opener wiring (no network in-sandbox: urlopen is
+    monkeypatched; what's under test is status/body/HTTPError
+    translation and the header/timeout plumbing)."""
+
+    def test_success_and_http_error(self, monkeypatch):
+        import urllib.error
+        import urllib.request
+
+        from vat_abcd_crawler_ray.stages.fetch import urllib_opener_factory
+
+        seen = {}
+
+        class FakeResp:
+            status = 200
+
+            def read(self, n):
+                return b"body-bytes"
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        def fake_urlopen(req, timeout=None):
+            seen["ua"] = req.headers.get("User-agent")
+            seen["timeout"] = timeout
+            if "missing" in req.full_url:
+                raise urllib.error.HTTPError(
+                    req.full_url, 404, "nope", hdrs=None, fp=None
+                )
+            return FakeResp()
+
+        monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+        opener = urllib_opener_factory(timeout_s=7.5, user_agent="test-ua/1")
+        assert opener("https://ok.example.org/x") == (200, b"body-bytes")
+        assert seen["ua"] == "test-ua/1"
+        assert seen["timeout"] == 7.5
+        # HTTP-level errors are RETURNED as statuses (stage classifies)
+        assert opener("https://missing.example.org/x") == (404, b"")
+
+    def test_transport_errors_propagate(self, monkeypatch):
+        import urllib.request
+
+        from vat_abcd_crawler_ray.stages.fetch import urllib_opener_factory
+
+        def fake_urlopen(req, timeout=None):
+            raise ConnectionError("dns down")
+
+        monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+        opener = urllib_opener_factory()
+        with pytest.raises(ConnectionError):
+            opener("https://x.example.org/")

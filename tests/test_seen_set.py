@@ -110,6 +110,53 @@ class TestShardedSeenSet:
         fresh = ss2.offer_batch(np.array([2, 9]), np.array([5, 6]))
         assert fresh.tolist() == [False, True]
 
+    def test_commit_round_distributed_matches_driver(self):
+        """The Dataset-sort + zip_with_index commit must leave the
+        shards in the SAME state as the driver argsort commit, for the
+        same offered (key, seq) stream — including across rounds."""
+        rng = np.random.RandomState(13)
+        r1_keys = rng.randint(0, 500, size=400).astype(np.int64)
+        r1_seqs = np.arange(400, dtype=np.int64)
+        rng.shuffle(r1_seqs)
+        r2_keys = rng.randint(0, 800, size=300).astype(np.int64)
+        r2_seqs = 1000 + np.arange(300, dtype=np.int64)
+
+        a = ShardedSeenSet(num_shards=4, capacity_per_shard=4096)
+        b = ShardedSeenSet(num_shards=4, capacity_per_shard=4096)
+        a.offer_batch(r1_keys, r1_seqs)
+        b.offer_batch(r1_keys, r1_seqs)
+        ta = a.commit_round(mode="driver")
+        db = b.commit_round(mode="distributed")
+        pa_ = ta.to_pandas().sort_values("key").reset_index(drop=True)
+        pb = (
+            db.to_pandas()[["key", "first_seq", "surrogate"]]
+            .sort_values("key")
+            .reset_index(drop=True)
+        )
+        assert pa_.equals(pb)
+        # second round on top of the committed state
+        a.offer_batch(r2_keys, r2_seqs)
+        b.offer_batch(r2_keys, r2_seqs)
+        a.commit_round(mode="driver")
+        b.commit_round(mode="distributed")
+        ta2 = a.to_table().to_pandas()
+        tb2 = b.to_table().to_pandas()
+        assert ta2.equals(tb2)
+        assert a.next_surrogate == b.next_surrogate
+
+    def test_filter_unseen_dataset(self):
+        import pandas as pd
+
+        ss = ShardedSeenSet(num_shards=3, capacity_per_shard=1024)
+        ss.offer_batch(np.array([10, 20, 30]), np.array([0, 1, 2]))
+        ss.commit_round()
+        cand = rd.from_pandas(
+            pd.DataFrame({"key": np.array([10, 15, 20, 25], dtype=np.int64),
+                          "x": [1, 2, 3, 4]})
+        ).repartition(2)
+        out = ss.filter_unseen_dataset(cand.materialize()).to_pandas()
+        assert sorted(out["key"].tolist()) == [15, 25]
+
     def test_to_table(self):
         ss = ShardedSeenSet(num_shards=3)
         ss.offer_batch(np.array([7, 8, 9]), np.array([2, 0, 1]))

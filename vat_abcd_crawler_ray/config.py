@@ -32,6 +32,9 @@ class CrawlConfig:
     salt_buckets: int = 16  # mega-host split factor (distributed select)
     link_cap_per_page: int = 64
     batch_size: int = 256  # pages per extract batch (wide binary rows)
+    # fetch_mode="http" opener config (stages/fetch.urllib_opener_factory)
+    http_timeout_s: float = 30.0
+    http_user_agent: str = "vat-abcd-crawler-ray/0.3"
 
 
 @dataclass

@@ -30,21 +30,42 @@ DRIVER_EDGE_LIMIT = 1_000_000
 
 
 def components_driver(edges: pd.DataFrame, src: str = "src", dst: str = "dst") -> dict:
-    """{node: component_min_label} over an in-memory edge list."""
-    label: dict = {}
+    """{node: component_min_label} over an in-memory edge list.
+
+    Union-find with path compression (one pass over the edges, near-
+    linear), then a vectorized per-root min fold so the label is the
+    component's MIN node id — same contract as the old iterated
+    propagation loop, O(E·α) instead of O(E·iterations)."""
     if not len(edges):
-        return label
-    ids = pd.unique(pd.concat([edges[src], edges[dst]]))
-    label = {i: i for i in ids}
-    changed = True
-    while changed:
-        changed = False
-        for s, d in zip(edges[src], edges[dst]):
-            m = min(label[s], label[d])
-            if label[s] != m or label[d] != m:
-                label[s] = label[d] = m
-                changed = True
-    return label
+        return {}
+    s = edges[src].to_numpy(dtype=np.int64)
+    d = edges[dst].to_numpy(dtype=np.int64)
+    ids = pd.unique(np.concatenate([s, d]))
+    pos = pd.Series(np.arange(len(ids), dtype=np.int64), index=ids)
+    si = pos[s].to_numpy()
+    di = pos[d].to_numpy()
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(si.tolist(), di.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.fromiter((find(i) for i in range(len(ids))), np.int64, len(ids))
+    comp_min = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(comp_min, roots, ids)
+    labels = comp_min[roots]
+    return dict(zip(ids.tolist(), labels.tolist()))
 
 
 def components_dataset(
@@ -86,6 +107,7 @@ def components_dataset(
     )
     prev_sum = labels.sum("label")
     ncpu = int(ray.cluster_resources().get("CPU", 8))
+    converged = False
     for _ in range(max_iters):
         lab_r = labels.map_batches(
             lambda t: t.rename_columns(["lnode", "llabel"]), batch_format="pyarrow"
@@ -112,8 +134,21 @@ def components_dataset(
         )
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # a component with propagation diameter > max_iters would exit
+        # here with SPLIT labels (silent under-deduplication downstream)
+        import warnings
+
+        warnings.warn(
+            f"components_dataset: label propagation did not converge in "
+            f"{max_iters} iterations — returned labels may split "
+            f"components with diameter > {max_iters}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -103,6 +103,57 @@ def anti_join_keys(
     return joined.map_batches(keep_misses, batch_format="pyarrow")
 
 
+def membership_flag_join(
+    big: "ray.data.Dataset",
+    keys: "ray.data.Dataset",
+    on: str,
+    flag_col: str,
+    broadcast_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Append boolean ``flag_col`` = (row's ``on`` value ∈ ``keys``) —
+    the EXISTS-flag form of a semi join (J2/A2 georeference flag).
+
+    Below ``broadcast_limit`` keys: ``ray.put`` the key set once and
+    flag via a vectorized ``is_in`` — no big-side shuffle. Above it:
+    bucketed LEFT join against the flagged key set — one shuffle,
+    driver memory independent of the key count (the auto-switch the
+    unbounded listing broadcast lacked)."""
+    import pyarrow.compute as pc
+
+    n = keys.count()
+    if n <= broadcast_limit:
+        if n == 0:
+            return big.map_batches(
+                lambda t: t.append_column(
+                    flag_col, pa.array(np.zeros(t.num_rows, dtype=bool))
+                ),
+                batch_format="pyarrow",
+            )
+        vals = keys.to_pandas()[on].to_numpy()
+        key_ref = ray.put(pa.array(sorted(set(vals.tolist()))))
+
+        def _flag(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch[on], value_set=ray.get(key_ref))
+            return batch.append_column(flag_col, mask)
+
+        return big.map_batches(_flag, batch_format="pyarrow")
+
+    flagged = keys.select_columns([on]).map_batches(
+        lambda t: t.append_column(
+            "__hit", pa.array(np.ones(t.num_rows, dtype=np.int8))
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucket_hash_join(big, flagged, on=on, how="left")
+
+    def mark(t: pa.Table) -> pa.Table:
+        return t.append_column(flag_col, pc.is_valid(t["__hit"])).drop_columns(
+            ["__hit"]
+        )
+
+    return joined.map_batches(mark, batch_format="pyarrow")
+
+
 def _tag_and_pad(
     ds: "ray.data.Dataset", side: int, all_cols: dict[str, pa.DataType]
 ) -> "ray.data.Dataset":

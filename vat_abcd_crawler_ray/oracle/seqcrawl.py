@@ -36,6 +36,12 @@ from ..functions.extract import (
 from ..functions.fields import LATITUDE_PATH, LONGITUDE_PATH, FieldRegistry
 from ..functions.urlkeys import canonicalize_url, host_of, murmur3_64
 
+import re
+
+# identical to pipelines/crawl.py's robots path strip (the regex is a
+# shared CONSTANT of the url grammar, not shared engine logic)
+_ROBOTS_PATH_RE = re.compile(r"^[a-z][a-z0-9+.-]*://[^/]*")
+
 LINK_FIELD = "/DataSets/DataSet/Units/Unit/RecordURI"
 TITLE_PATH = "/DataSets/DataSet/Metadata/Description/Representation/Title"
 UNIT_ID_PATH = "/DataSets/DataSet/Units/Unit/UnitID"
@@ -99,12 +105,14 @@ def sequential_crawl(corpus: str, max_rounds: int = 64):
     for rnd in range(max_rounds):
         if not frontier:
             break
-        # robots gate
+        # robots gate — path derivation mirrors the engine EXACTLY
+        # (strip `scheme://` plus everything up to the first '/', keep
+        # the remainder; a query-only URL like 'https://h?x=1' yields
+        # '' in both, never a divergent '?x=1')
         alive = []
         for e in frontier:
             pre = robots.get(e["host"], "")
-            path = e["canonical_url"].split("://", 1)[1]
-            path = path[path.find("/"):] if "/" in path else ""
+            path = _ROBOTS_PATH_RE.sub("", e["canonical_url"])
             if pre and path.startswith(pre):
                 continue
             alive.append(e)

@@ -116,15 +116,17 @@ def _read_parquet_dir(d: str, columns: list[str] | None = None) -> pd.DataFrame:
     return pa.concat_tables(parts, promote_options="default").to_pandas()
 
 
-@ray.remote(num_cpus=0.5)
-def _project_round_blocks(*tables: pa.Table) -> tuple[pa.Table, pa.Table]:
+@ray.remote(num_cpus=0.5, num_returns=4)
+def _project_round_blocks(*tables: pa.Table):
     """Round projection over a GROUP of pinned extracted blocks, run
-    REMOTELY next to the data: returns only (fetched-url table,
-    discovered-link table) — the driver never receives the 36 field
-    columns or the text. On a multi-node cluster this keeps the
-    per-round driver traffic proportional to the LINK volume, not the
-    extracted volume. Blocks are grouped several-per-task so the
-    per-round task count (and its scheduling latency) stays small.
+    REMOTELY next to the data: returns (fetched-url table,
+    discovered-link table, raw link count, kept link count) as FOUR
+    separate refs — the driver always pulls the small url table and the
+    two counts, but the link table ref is only pulled in driver
+    admission mode; distributed admission feeds the refs straight into
+    ``ray.data.from_arrow_refs`` so the link volume never crosses the
+    driver. Blocks are grouped several-per-task so the per-round task
+    count (and its scheduling latency) stays small.
     """
     gots, links = [], []
     for t in tables:
@@ -161,7 +163,7 @@ def _project_round_blocks(*tables: pa.Table) -> tuple[pa.Table, pa.Table]:
         keys = link_t["key"].to_numpy(zero_copy_only=False)[order]
         first = ~pd.Series(keys).duplicated().to_numpy()
         link_t = link_t.take(pa.array(order[first], pa.int64()))
-    return got_t, link_t, n_raw
+    return got_t, link_t, n_raw, link_t.num_rows
 
 
 @ray.remote(num_cpus=0.5)
@@ -219,6 +221,7 @@ class CrawlRun:
         select_mode: str = "auto",  # auto | driver | distributed
         fetch_mode: str = "store",  # store | scan | http
         bootstrap_mode: str = "auto",  # auto | driver | distributed
+        admission_mode: str = "auto",  # auto | driver | distributed
         http_opener=None,  # fetch_mode="http": opener(url)->(status, bytes)
     ):
         self.pages_path = pages_path
@@ -228,6 +231,7 @@ class CrawlRun:
         self.select_mode = select_mode
         self.fetch_mode = fetch_mode
         self.bootstrap_mode = bootstrap_mode
+        self.admission_mode = admission_mode
         self.http_opener = http_opener
         self._page_store = None
         self.manifest = RunManifest(run_dir)
@@ -510,10 +514,17 @@ class CrawlRun:
             # the extract stage as NULL bodies → dead-letter rows.
             # Politeness holds because the selection already capped
             # each host's rows this round.
-            from ..stages.fetch import HttpFetchStage
+            from ..stages.fetch import HttpFetchStage, urllib_opener_factory
 
             if self.http_opener is None:
-                raise ValueError('fetch_mode="http" requires http_opener')
+                # production wiring: a stdlib urllib opener built from
+                # the crawl config (tests inject an in-memory opener;
+                # this sandbox has no network, so the default is only
+                # exercised in real deployments)
+                self.http_opener = urllib_opener_factory(
+                    timeout_s=self.settings.crawl.http_timeout_s,
+                    user_agent=self.settings.crawl.http_user_agent,
+                )
             ds = ray.data.from_arrow(pa.Table.from_pandas(meta, preserve_index=False))
             ncpu = int(ray.cluster_resources().get("CPU", 8))
             nblocks = max(1, min(4 * ncpu, len(meta) // 64))
@@ -614,7 +625,12 @@ class CrawlRun:
 
         out_dir = self.extracted_dir(rnd)
         n_fetched = n_miss = 0
-        links = pd.DataFrame()
+        # links is an Arrow table once winners produce one, else None —
+        # the admission guard below tests `.num_rows`, so the empty
+        # sentinel must be None, never an empty pandas frame
+        links = None
+        link_refs: list = []
+        n_links_raw = n_links_kept = 0
         write_futs: list = []
         phase_t: dict[str, float] = {}
         t0 = _now()
@@ -660,18 +676,24 @@ class CrawlRun:
                 _write_round_blocks.remote(out_dir, wi, *blocks[i : i + 8])
                 for wi, i in enumerate(range(0, len(blocks), 8))
             ]
-            phase_t["write"] = _now() - t0
+            # submit time only — the write itself completes in the
+            # background and is joined (and timed) at the deferred
+            # commit; see "commit_wait" in _flush_pending_commit
+            phase_t["write_submit"] = _now() - t0
             t0 = _now()
-            parts = ray.get(futs)
-            got_tbls = [g for g, _l, _n in parts if g.num_rows]
-            link_tbls = [l for _g, l, _n in parts if l.num_rows]
-            n_links_raw = sum(n for _g, _l, n in parts)
+            # futs: per task [got_ref, link_ref, n_raw_ref, n_kept_ref].
+            # Pull the (politeness-bounded) url tables and the two
+            # counts; link refs stay in the object store until the
+            # admission mode is resolved.
+            got_tbls = [g for g in ray.get([f[0] for f in futs]) if g.num_rows]
+            link_refs = [f[1] for f in futs]
+            n_links_raw = sum(ray.get([f[2] for f in futs]))
+            n_links_kept = sum(ray.get([f[3] for f in futs]))
             got = (
                 set(pa.concat_tables(got_tbls)["url"].to_pylist())
                 if got_tbls
                 else set()
             )
-            links = pa.concat_tables(link_tbls) if link_tbls else None
             phase_t["project"] = _now() - t0
             t0 = _now()
 
@@ -695,13 +717,31 @@ class CrawlRun:
                 pq.write_table(miss_t, os.path.join(miss_dir, "misses.parquet"))
 
         # ---- link admission (deterministic child seqs, then seen-filter)
-        # All wide work stays numpy/Arrow over the raw link table; the
-        # only pandas frame built is the (small) admitted set — the
-        # round-1 path converted and merged the full multi-million-row
-        # link table driver-side.
+        # Two equivalent implementations (tested identical, like
+        # selection/bootstrap): **driver** — numpy/Arrow over the
+        # pre-deduplicated link survivors (bounded by winners ×
+        # link_cap_per_page); **distributed** — the scale path: the
+        # link refs become a Dataset, first-wins is a groupby-min +
+        # join, the seen anti-filter runs shard-parallel over shared
+        # blocks, child seq/surrogate assignment is a sort +
+        # zip_with_index, and the next frontier is Dataset-written.
+        # ``auto`` switches on the surviving link count, so no
+        # data-proportional ray.get remains once rounds grow.
         admitted_rows = 0
         new_frontier = pd.DataFrame(columns=FRONTIER_COLS)
-        if links is not None and links.num_rows:
+        links_written = False
+        amode = self.admission_mode
+        if amode == "auto":
+            amode = "distributed" if n_links_kept > 2_000_000 else "driver"
+        if n_links_kept and amode == "distributed":
+            self.metrics.links_discovered += n_links_raw
+            admitted_rows = self._admit_distributed(link_refs, winners, rnd)
+            links_written = admitted_rows > 0
+            self.seen.commit_round()  # parity: clears (empty) pending state
+        elif n_links_kept:
+            links = pa.concat_tables(
+                [l for l in ray.get(link_refs) if l.num_rows]
+            )
             self.metrics.links_discovered += n_links_raw
             seq_a = links["seq"].to_numpy(zero_copy_only=False)
             idx_a = links["link_idx"].to_numpy(zero_copy_only=False)
@@ -781,6 +821,7 @@ class CrawlRun:
         if len(new_frontier):
             self._write_frontier(new_frontier[FRONTIER_COLS], rnd + 1, "links")
             has_next = True
+        has_next = has_next or links_written  # distributed admission wrote
 
         phase_t["admission"] = _now() - t0
         t0 = _now()
@@ -826,12 +867,118 @@ class CrawlRun:
         )
         return has_next
 
+    # ---------------- distributed link admission ----------------
+    _LINK_ORD_SCALE = 1 << 20  # ordv = parent_seq * SCALE + link_idx
+
+    def _admit_distributed(self, link_refs: list, winners: pd.DataFrame,
+                           rnd: int) -> int:
+        """Scale-path link admission — the distributed mirror of the
+        driver branch, built from the same pieces as the bootstrap:
+
+        1. the projection tasks' link tables become a Dataset
+           (``from_arrow_refs`` — zero driver traffic);
+        2. ``ordv = parent_seq * 2^20 + link_idx`` encodes the
+           (seq, link_idx) discovery order in ONE int64 (link_idx <
+           ``link_cap_per_page`` ≤ 2^20 by config), and the parent
+           priority comes from a broadcast of the politeness-bounded
+           winner set;
+        3. first-wins per canonical key = ``groupby(key).min(ordv)``
+           joined back on ``(key, ordv)`` (unique — distinct parents
+           have distinct seqs);
+        4. seen anti-filter runs shard-parallel over shared candidate
+           blocks (``filter_unseen_dataset``), exactly the reference's
+           novel-urls-only numbering (``surrogate_key.rs:16-41``);
+        5. ``sort(ordv)`` + ``zip_with_index`` assigns child seqs AND
+           surrogates densely in discovery order — identical to the
+           driver path because admitted surrogates are consecutive in
+           first_seq order within the round;
+        6. the next frontier is Dataset-written; the seen shards ingest
+           the same blocks via ``load_assigned_blocks``.
+
+        Returns the number of admitted links."""
+        from ray.data.aggregate import Min
+
+        from ..ops.zip_with_index import zip_with_index
+
+        cc = self.settings.crawl
+        if cc.link_cap_per_page >= self._LINK_ORD_SCALE:
+            raise ValueError("link_cap_per_page must be < 2^20 for ordv encoding")
+        scale = self._LINK_ORD_SCALE
+        prio_ref = ray.put(
+            dict(
+                zip(
+                    winners["seq"].to_numpy().tolist(),
+                    (winners["priority"].to_numpy() * 0.5).tolist(),
+                )
+            )
+        )
+
+        def add_ordv(t: pa.Table) -> pa.Table:
+            seqs = t["seq"].to_numpy(zero_copy_only=False)
+            idxs = t["link_idx"].to_numpy(zero_copy_only=False)
+            pr = ray.get(prio_ref)
+            prio = np.fromiter(
+                (pr.get(int(s), 0.0) for s in seqs), np.float64, len(seqs)
+            )
+            return t.append_column(
+                "ordv", pa.array(seqs * scale + idxs)
+            ).append_column("priority", pa.array(prio))
+
+        keyed = (
+            ray.data.from_arrow_refs(list(link_refs))
+            .map_batches(add_ordv, batch_format="pyarrow")
+            .materialize()  # consumed twice: groupby + join probe
+        )
+        firsts = keyed.groupby("key").aggregate(Min("ordv", alias_name="first_ordv"))
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        reps = keyed.join(
+            firsts,
+            join_type="inner",
+            num_partitions=max(2, ncpu),
+            on=("key", "ordv"),
+            right_on=("key", "first_ordv"),
+        )
+        unseen = self.seen.filter_unseen_dataset(reps.materialize())
+        base_seq, base_surr = self.next_seq, self.seen.next_surrogate
+
+        def finalize(t: pa.Table) -> pa.Table:
+            rank = t["rank"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "url": t["link_url"],
+                    "canonical_url": t["canonical_url"],
+                    "key": t["key"],
+                    "host": t["host"],
+                    "priority": t["priority"],
+                    "seq": pa.array(base_seq + rank),
+                    "surrogate": pa.array(base_surr + rank),
+                }
+            )
+
+        frontier = (
+            zip_with_index(unseen.sort("ordv"), "rank", start=0)
+            .map_batches(finalize, batch_format="pyarrow")
+            .materialize()
+        )
+        n = frontier.count()
+        if n:
+            os.makedirs(self.frontier_dir(rnd + 1), exist_ok=True)
+            frontier.write_parquet(self.frontier_dir(rnd + 1))
+            self.seen.load_assigned_blocks(frontier)
+            self.next_seq = base_seq + n
+            self.seen.next_surrogate = base_surr + n
+        return n
+
     def _flush_pending_commit(self) -> None:
         if self._pending_commit is None:
             return
         futs, rnd, info = self._pending_commit
         self._pending_commit = None
-        ray.get(futs)  # snapshot durable before the round is committed
+        t0 = _now()
+        ray.get(futs)  # snapshot + writes durable before the commit
+        # the real write/snapshot wall time, recorded where the futures
+        # are actually joined (phase "write_submit" is submission only)
+        info["phase_sec"]["commit_wait"] = round(_now() - t0, 3)
         self.manifest.commit_round(rnd, info)
 
     # ---------------- top-level ----------------

@@ -101,9 +101,20 @@ def kmeans_fit(
     assigns its rows by max dot product and emits per-cell (sum, count)
     partials — k·dim floats per batch regardless of batch size; the
     driver combines partials and renormalizes. Empty cells keep their
-    previous centroid. Returns (k, dim) unit-norm centroids."""
+    previous centroid. Returns (k, dim) unit-norm centroids.
+
+    Init = the k smallest-id vectors, found by a per-batch partial
+    min-k (each batch emits ≤ k rows) + a tiny driver combine — no
+    global sort shuffle for k rows."""
+
+    def partial_min_k(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(k, id_col)[[id_col, vec_col]]
+
     init = (
-        ds.select_columns([id_col, vec_col]).sort(id_col).limit(k).to_pandas()
+        ds.select_columns([id_col, vec_col])
+        .map_batches(partial_min_k, batch_format="pandas")
+        .to_pandas()
+        .nsmallest(k, id_col)
     )
     cents = _normalize(_as_matrix(init[vec_col]))
 

@@ -107,8 +107,11 @@ def listing_table(run_dir: str, registry: FieldRegistry | None = None) -> "ray.d
     ``isGeoReferenced`` = ∃ unit of this dataset with BOTH coordinates
     (``database_sink.rs:533-538``). Plan: filter units on coord validity
     (vectorized), groupby(surrogate).count() — a shuffle over the tiny
-    filtered key set — then broadcast the flag set into a map over
-    datasets (no datasets-side shuffle)."""
+    filtered key set — then flag datasets via ``membership_flag_join``
+    (broadcast below its key gate, bucketed left join above — never an
+    unbounded driver ``set``)."""
+    from ..ops.joins import membership_flag_join
+
     units = extracted_dataset(run_dir, "unit").select_columns(
         ["surrogate", LONGITUDE_PATH, LATITUDE_PATH]
     )
@@ -124,14 +127,13 @@ def listing_table(run_dir: str, registry: FieldRegistry | None = None) -> "ray.d
         .groupby("surrogate")
         .count()
     )
-    geo_ref = ray.put(set(geo_keys.to_pandas()["surrogate"].tolist()))
 
     ds = extracted_dataset(run_dir, "dataset").select_columns(
         ["surrogate", "dataset_landing_page", TITLE_PATH, "dataset_id", "dataset_provider"]
     )
+    flagged = membership_flag_join(ds, geo_keys, on="surrogate", flag_col="__geo")
 
     def project(batch: pd.DataFrame) -> pd.DataFrame:
-        geo = ray.get(geo_ref)
         return pd.DataFrame(
             {
                 "link": batch["dataset_landing_page"],
@@ -139,11 +141,11 @@ def listing_table(run_dir: str, registry: FieldRegistry | None = None) -> "ray.d
                 "id": batch["dataset_id"],
                 "provider": batch["dataset_provider"],
                 "available": True,
-                "isGeoReferenced": batch["surrogate"].isin(geo),
+                "isGeoReferenced": batch["__geo"],
             }
         )
 
-    return ds.map_batches(project, batch_format="pandas")
+    return flagged.map_batches(project, batch_format="pandas")
 
 
 def write_all_tables(run_dir: str, out_dir: str, registry: FieldRegistry | None = None) -> dict:

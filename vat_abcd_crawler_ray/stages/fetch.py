@@ -41,6 +41,33 @@ FETCH_HTTP_ERROR = "FetchHttpError"
 Opener = Callable[[str], tuple[int, bytes]]
 
 
+def urllib_opener_factory(
+    timeout_s: float = 30.0,
+    user_agent: str = "vat-abcd-crawler-ray/0.3",
+    max_body_bytes: int = 64 * 1024 * 1024,
+) -> Opener:
+    """Production opener built on the stdlib (no extra deps): GET with a
+    UA header and timeout; non-2xx statuses are RETURNED (the stage
+    classifies them — ``file_downloader.rs:8-29`` errors on non-2xx),
+    transport failures raise (classified transient by the stage). Build
+    one per task/actor and inject it via ``CrawlRun(http_opener=...)``
+    or ``HttpFetchStage(opener)`` — this sandbox has no network, so the
+    factory is never the implicit default."""
+    import urllib.error
+    import urllib.request
+
+    def opener(url: str) -> tuple[int, bytes]:
+        req = urllib.request.Request(url, headers={"User-Agent": user_agent})
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                return resp.status, resp.read(max_body_bytes)
+        except urllib.error.HTTPError as e:
+            # an HTTP-level error IS a status, not a transport failure
+            return e.code, b""
+
+    return opener
+
+
 class HttpFetchStage:
     """map_batches body: rows with a ``url`` column → same rows +
     ``html`` (binary, NULL on failure), ``fetch_status`` (last HTTP

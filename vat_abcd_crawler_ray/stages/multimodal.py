@@ -128,9 +128,20 @@ class AudioFeatureStage:
         self.media_col = media_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ns, rates, sum_abs, zc = [], [], [], []
+        ns, rates, sum_abs, zc, errs = [], [], [], [], []
         for blob in batch[self.media_col].to_pylist():
-            samples, rate = decode_wav(blob or b"")
+            # C2 'errors are data': a null/corrupt blob yields NULL
+            # feature columns + decode_error, never a task failure
+            # (matching the extract stage's per-record soft errors)
+            try:
+                samples, rate = decode_wav(blob if blob else b"")
+            except ValueError as exc:
+                ns.append(None)
+                rates.append(None)
+                sum_abs.append(None)
+                zc.append(None)
+                errs.append(f"DecodeError: {exc}")
+                continue
             mono = samples.mean(axis=1, dtype=np.int64) if samples.shape[1] > 1 \
                 else samples[:, 0].astype(np.int64)
             ns.append(samples.shape[0])
@@ -138,12 +149,14 @@ class AudioFeatureStage:
             sum_abs.append(int(np.abs(mono).sum()))
             sign = mono >= 0
             zc.append(int((sign[1:] != sign[:-1]).sum()))
+            errs.append(None)
         return (
             batch.drop_columns([self.media_col])
             .append_column("n_samples", pa.array(ns, pa.int64()))
             .append_column("sample_rate", pa.array(rates, pa.int64()))
             .append_column("sum_abs", pa.array(sum_abs, pa.int64()))
             .append_column("zero_crossings", pa.array(zc, pa.int64()))
+            .append_column("decode_error", pa.array(errs, pa.string()))
         )
 
 

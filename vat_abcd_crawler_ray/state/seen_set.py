@@ -41,6 +41,14 @@ from ..ops.zip_with_index import zip_with_index
 from .cuckoo import CuckooFilter
 
 
+def _as_arrow_block(block) -> pa.Table:
+    """Dataset blocks may be Arrow tables OR pandas frames depending on
+    the producing operator; the shard block methods accept both."""
+    if isinstance(block, pa.Table):
+        return block
+    return pa.Table.from_pandas(block, preserve_index=False)
+
+
 def first_wins_dataset(
     ds: "ray.data.Dataset",
     key_col: str,
@@ -102,6 +110,9 @@ class SeenSetShard:
                 pend.update(zip(k.tolist(), s.tolist()))
         return fresh
 
+    def pending_count(self) -> int:
+        return len(self.pending)
+
     def commit_round(self) -> pa.Table:
         """Round barrier step 1: return this shard's NEW (key, first_seq)
         pairs (keys never committed before), clearing the pending set."""
@@ -124,19 +135,24 @@ class SeenSetShard:
                 self.exact[int(k)] = (int(g), int(s))
         return len(self.exact)
 
-    def assign_block(self, table: pa.Table, num_shards: int) -> int:
+    def assign_block(self, table: pa.Table, num_shards: int,
+                     seq_col: str = "seq") -> int:
         """Bulk-load pre-assigned rows from a shared Dataset block: keep
         only this shard's keys (``key % num_shards == shard_id``) and
-        store them. Used by the distributed bootstrap — the block lives
-        once in the object store and every shard filters its own slice,
-        so no per-shard routing ever touches the driver."""
+        store them. Used by the distributed bootstrap / admission /
+        commit — the block lives once in the object store and every
+        shard filters its own slice, so no per-shard routing ever
+        touches the driver."""
+        table = _as_arrow_block(table)
+        if table.num_rows == 0 or "key" not in table.column_names:
+            return len(self.exact)  # sort/shuffle ops emit schemaless empties
         keys = table["key"].to_numpy()
         mask = (keys % num_shards) == self.shard_id
         sel = np.flatnonzero(mask)
         if len(sel):
             self.filter.add(keys[sel])
             surr = table["surrogate"].to_numpy()
-            seqs = table["seq"].to_numpy()
+            seqs = table[seq_col].to_numpy()
             for i in sel:
                 self.exact[int(keys[i])] = (int(surr[i]), int(seqs[i]))
         return len(self.exact)
@@ -148,6 +164,29 @@ class SeenSetShard:
             dtype=np.int64,
             count=len(keys),
         )
+
+    def filter_unseen_block(self, table: pa.Table, num_shards: int) -> pa.Table:
+        """Shard-parallel anti-filter for the distributed link
+        admission: from a shared candidate block (one object-store copy,
+        every shard reads it), return THIS shard's rows (``key %
+        num_shards == shard_id``) whose key is not committed-seen.
+        Driver traffic is O(num_blocks) refs; the concatenation of all
+        shards' outputs over all blocks is exactly the unseen candidate
+        set."""
+        table = _as_arrow_block(table)
+        if table.num_rows == 0 or "key" not in table.column_names:
+            return table  # schemaless empty block: nothing to filter
+        keys = table["key"].to_numpy()
+        mine = np.flatnonzero((keys % num_shards) == self.shard_id)
+        exact = self.exact
+        unseen = mine[
+            np.fromiter(
+                (int(keys[i]) not in exact for i in mine),
+                dtype=bool,
+                count=len(mine),
+            )
+        ] if len(mine) else mine
+        return table.take(pa.array(unseen, pa.int64()))
 
     def snapshot(self, path: str) -> None:
         keys = np.fromiter(self.exact.keys(), dtype=np.int64, count=len(self.exact))
@@ -227,16 +266,31 @@ class ShardedSeenSet:
             mask[sel] = res
         return mask
 
-    def commit_round(self) -> pa.Table:
+    def commit_round(
+        self,
+        mode: str = "auto",
+        distributed_threshold: int = 5_000_000,
+    ) -> pa.Table:
         """Resolve the round: gather new keys from all shards, assign
         dense surrogates in first_seq order, push assignments back.
         Returns (key, first_seq, surrogate) for the round's new keys.
 
-        The per-round novelty set is bounded by the round's fetch+link
-        volume (not the total seen-set size); its driver-side sort is a
-        numpy argsort. Beyond ~10^8 new keys/round this step would move
-        to a distributed sort + per-shard offset broadcast.
+        Two equivalent implementations (tested identical): **driver** —
+        gather + numpy argsort, right while the round's novelty set is
+        driver-sized; **distributed** — the shard pending tables stay
+        remote, surrogate assignment is a Dataset ``sort(first_seq)`` +
+        ``zip_with_index``, and shards ingest shared result blocks
+        (``commit_round_distributed``). ``auto`` switches on the total
+        pending count (one int per shard to decide), so a 10^8-novel-
+        key round never materializes on the driver. NOTE: above the
+        gate the return value is a **Dataset**, not a pa.Table — every
+        driver-sized caller sits under its own smaller admission gate.
         """
+        if mode == "auto":
+            counts = ray.get([s.pending_count.remote() for s in self.shards])
+            mode = "distributed" if sum(counts) > distributed_threshold else "driver"
+        if mode == "distributed":
+            return self.commit_round_distributed()
         tables = ray.get([s.commit_round.remote() for s in self.shards])
         allt = pa.concat_tables(tables)
         if allt.num_rows == 0:
@@ -265,6 +319,23 @@ class ShardedSeenSet:
             }
         )
 
+    def commit_round_distributed(self) -> "ray.data.Dataset":
+        """Scale-path round commit (reference dense numbering,
+        ``surrogate_key.rs:16-41``, at 10^8+ novel keys/round): the
+        shard pending tables become a Dataset WITHOUT touching the
+        driver, a global ``sort(first_seq)`` + ``zip_with_index``
+        assigns dense surrogates in first-seq order, and every shard
+        ingests the shared result blocks. Returns the materialized
+        (key, first_seq, surrogate) Dataset."""
+        refs = [s.commit_round.remote() for s in self.shards]
+        pending = ray.data.from_arrow_refs(refs)
+        assigned = zip_with_index(
+            pending.sort("first_seq"), "surrogate", start=self.next_surrogate
+        ).materialize()
+        self.load_assigned_blocks(assigned, seq_col="first_seq")
+        self.next_surrogate += assigned.count()
+        return assigned
+
     def lookup(self, keys: np.ndarray) -> np.ndarray:
         keys = np.asarray(keys, dtype=np.int64)
         shard_ids = keys % self.num_shards
@@ -277,6 +348,39 @@ class ShardedSeenSet:
         for sel, res in zip(idxs, ray.get(futures)):
             out[sel] = res
         return out
+
+    def filter_unseen_dataset(self, mat_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        """Distributed anti-filter: each block of the MATERIALIZED input
+        is shipped once to the object store; every shard actor extracts
+        its own unseen rows (``filter_unseen_block``). Returns the
+        Dataset of not-yet-committed rows — no driver materialization,
+        O(blocks × shards) small tasks."""
+        refs = []
+        for bundle in mat_ds.iter_internal_ref_bundles():
+            for block_ref in bundle.block_refs:
+                for shard in self.shards:
+                    refs.append(
+                        shard.filter_unseen_block.remote(block_ref, self.num_shards)
+                    )
+        return ray.data.from_arrow_refs(refs)
+
+    def load_assigned_blocks(
+        self, mat_ds: "ray.data.Dataset", seq_col: str = "seq"
+    ) -> None:
+        """Bulk-commit pre-assigned (key, surrogate, seq) rows from a
+        materialized Dataset: every shard filters each shared block for
+        its own keys (``assign_block``). Used by the distributed
+        bootstrap, link admission and round commit."""
+        futs = []
+        for bundle in mat_ds.iter_internal_ref_bundles():
+            for block_ref in bundle.block_refs:
+                for shard in self.shards:
+                    futs.append(
+                        shard.assign_block.remote(
+                            block_ref, self.num_shards, seq_col
+                        )
+                    )
+        ray.get(futs)
 
     def snapshot_async(self, dir_path: str) -> list:
         """Submit the per-shard snapshot writes and return their
