@@ -149,6 +149,26 @@ class TestOps:
         assert got == drv
         assert got[4] == 1 and got[13] == 10 and got[21] == 20 and got[32] == 30
 
+    def test_components_long_chain_pointer_doubling(self):
+        """A 300-node path graph has propagation diameter 300 — plain
+        min-label needs 300 iterations, far past max_iters=64. The
+        pointer-doubling pass (engaged from iteration 3) must converge
+        it to ONE component without tripping the non-convergence
+        warning."""
+        import warnings
+
+        n = 300
+        edges = pd.DataFrame(
+            {"src": np.arange(n - 1), "dst": np.arange(1, n)}
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            ds = components_dataset(
+                rd.from_pandas(edges).repartition(4)
+            ).to_pandas()
+        assert len(ds) == n
+        assert (ds["label"] == 0).all()
+
     def test_hll_count_distinct_dataset(self):
         rows = [{"k": f"key-{i % 3000}"} for i in range(20000)]
         est = hll_count_distinct(rd.from_items(rows).repartition(6), "k")

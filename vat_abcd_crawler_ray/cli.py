@@ -40,6 +40,7 @@ def cmd_crawl(args: argparse.Namespace) -> int:
         select_mode=args.select_mode,
         fetch_mode=args.fetch_mode,
         bootstrap_mode=args.bootstrap_mode,
+        admission_mode=args.admission_mode,
     )
     metrics = run.run(resume=args.resume)
     if args.tables:
@@ -94,9 +95,15 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["auto", "driver", "distributed"])
     c.add_argument("--bootstrap-mode", default="auto",
                    choices=["auto", "driver", "distributed"])
-    c.add_argument("--fetch-mode", default="store", choices=["store", "scan"],
-                   help='page-table fetch tier ("http" is library-only: '
-                        'it needs an opener callable)')
+    c.add_argument("--admission-mode", default="auto",
+                   choices=["auto", "driver", "distributed"],
+                   help="per-round link admission path (auto gates on "
+                        "the surviving link count)")
+    c.add_argument("--fetch-mode", default="store",
+                   choices=["store", "scan", "http"],
+                   help='page-table fetch tiers "store"/"scan"; "http" '
+                        "fetches over the real network via the stdlib "
+                        "urllib opener built from the crawl settings")
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_crawl)
 

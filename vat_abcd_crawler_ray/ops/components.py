@@ -8,10 +8,13 @@ min id per cluster. Two equivalent implementations (tested identical):
   relative to the corpus).
 - :func:`components_dataset` — the scale path: labels and edges stay
   Datasets; each iteration joins neighbor labels (hash join on the
-  node key) and folds with ``groupby(node).min(label)``. Converges in
-  O(component diameter) iterations; near-dup clusters are star/clique
-  shaped, so 1-2 iterations in practice. Convergence is detected by
-  the monotonically decreasing global label sum — one scalar per
+  node key) and folds with ``groupby(node).min(label)``. Near-dup
+  clusters are star/clique shaped, so 1-2 iterations in practice;
+  from iteration 3 on a POINTER-DOUBLING pass (label ← label of
+  label, one extra self-join) kicks in, so chain/path components
+  converge in O(log diameter) instead of O(diameter) iterations —
+  the common case pays nothing. Convergence is detected by the
+  monotonically decreasing global label sum — one scalar per
   iteration, no label-table diff.
 
 :func:`min_label_components` auto-selects by edge count.
@@ -108,7 +111,7 @@ def components_dataset(
     prev_sum = labels.sum("label")
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     converged = False
-    for _ in range(max_iters):
+    for it in range(max_iters):
         lab_r = labels.map_batches(
             lambda t: t.rename_columns(["lnode", "llabel"]), batch_format="pyarrow"
         )
@@ -126,9 +129,25 @@ def components_dataset(
             lambda t: pa.table({"node": t["node"], "lab": t["label"]}),
             batch_format="pyarrow",
         )
+        combined = msgs.union(own)
+        if it >= 2:
+            # still not converged after the star/clique-shaped cases
+            # are done ⇒ a high-diameter component exists: add a
+            # pointer-doubling message (label ← label-of-label) so
+            # chains collapse in O(log d) further iterations
+            short = labels.join(
+                lab_r,
+                join_type="inner",
+                num_partitions=max(2, ncpu),
+                on=("label",),
+                right_on=("lnode",),
+            ).map_batches(
+                lambda t: pa.table({"node": t["node"], "lab": t["llabel"]}),
+                batch_format="pyarrow",
+            )
+            combined = combined.union(short)
         labels = (
-            msgs.union(own)
-            .groupby("node")
+            combined.groupby("node")
             .aggregate(Min("lab", alias_name="label"))
             .materialize()
         )
