@@ -18,15 +18,27 @@ from vat_abcd_crawler_ray.sources.synthetic import corpus_dir
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_distributed_crawl_matches_sequential_reference(tmp_path):
+@pytest.mark.parametrize("modes", ["auto", "distributed"])
+def test_distributed_crawl_matches_sequential_reference(tmp_path, modes):
+    """``modes="distributed"`` forces EVERY gated stage (bootstrap,
+    selection, admission) down its scale path simultaneously — the full
+    distributed spine against the independent oracle, not just each
+    stage's pairwise equivalence."""
     corpus = corpus_dir("/root/testdata/sf0.001")
     seq_log, seq_seen, _ds, _li, _er, _un = sequential_crawl(corpus)
 
+    kw = (
+        dict(bootstrap_mode="distributed", select_mode="distributed",
+             admission_mode="distributed")
+        if modes == "distributed"
+        else {}
+    )
     run = CrawlRun(
         f"{corpus}/pages.parquet",
         f"{corpus}/seeds.parquet",
         f"{corpus}/politeness.parquet",
         str(tmp_path / "run"),
+        **kw,
     )
     run.run()
 
