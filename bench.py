@@ -189,6 +189,7 @@ def _bench_crawl_big(sf_dir: str, num_cpus: int) -> dict:
     shutil.rmtree(run_dir, ignore_errors=True)
     settings = Settings()
     settings.crawl.max_rounds = 12
+    load_start = round(os.getloadavg()[0], 1)
     t0 = time.perf_counter()
     run = CrawlRun(
         pages_path,
@@ -209,12 +210,17 @@ def _bench_crawl_big(sf_dir: str, num_cpus: int) -> dict:
         "fetched_per_sec": round(metrics.fetched / dt, 1),
         "num_cpus": num_cpus,
         "phase_sec": run.phase_times,
+        "loadavg_start": load_start,
     }
 
 
 def run_once() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    # background load when the run STARTED — this sandbox host carries
+    # heavy intermittent external load (2× swings on identical code);
+    # recording it makes every JSON self-describing about its noise
+    load_start = round(os.getloadavg()[0], 1)
     timings, derived = _bench_queries(sf_dir, num_cpus)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     return {
@@ -225,6 +231,7 @@ def run_once() -> dict:
         "sf": sf,
         "num_cpus": num_cpus,
         "derived": derived,
+        "loadavg_start": load_start,
     }
 
 
@@ -364,6 +371,12 @@ def run_scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> dict:
             f"phase_sec_{hi}": phase_budget(big_hi),
         },
         "reps": reps,
+        "loadavg_runs": {
+            str(n): [r.get("loadavg_start") for r in runs[n]] for n in (lo, hi)
+        },
+        "loadavg_big_runs": {
+            str(n): [r.get("loadavg_start") for r in big[n]] for n in (lo, hi)
+        },
         "sf": runs[hi][0]["sf"],
         "num_cpus": hi,
     }

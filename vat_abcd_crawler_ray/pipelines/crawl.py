@@ -43,9 +43,14 @@ with 10^5 hosts × budget 100 still selects ≤ 10^7 winners/round) — so
 holding it as a driver frame is a config-bounded cost, not a
 data-scaled one. The unbounded collections (frontier, links, extracted
 rows, seen set) never materialize on the driver: frontier stays on
-disk / in Datasets, links arrive pre-deduplicated per projection task,
-extracted blocks are written and projected remotely, and the seen set
-lives in shard actors.
+disk / in Datasets, links arrive pre-deduplicated per projection task
+and above the admission auto-gate never leave the object store
+(``_admit_distributed``), extracted blocks are written and projected
+remotely, and the seen set lives in shard actors. Every gated stage
+(bootstrap, selection, admission, seen-set round commit) has a driver
+fast path for sandbox-sized rounds and a distributed scale path
+proved identical by tests — including all four forced distributed at
+once against the sequential oracle.
 """
 
 from __future__ import annotations
