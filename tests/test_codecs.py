@@ -66,3 +66,33 @@ def test_wav_rejects_non_pcm16():
     )
     with pytest.raises(ValueError):
         decode_wav(bad)
+
+
+def test_decode_stages_dead_letter_corrupt_blobs():
+    """C2 'errors are data': corrupt/null media blobs must yield NULL/
+    zero features + a decode_error column, never a raised exception
+    (which would kill the whole map_batches task)."""
+    import pyarrow as pa
+
+    from vat_abcd_crawler_ray.functions.codecs import encode_ppm, encode_wav
+    from vat_abcd_crawler_ray.stages.multimodal import (
+        AudioFeatureStage,
+        DecodeImageStage,
+    )
+
+    good_img = encode_ppm(np.full((4, 4, 3), 7, np.uint8))
+    out = DecodeImageStage(out_hw=(4, 4), decoder="ppm")(
+        pa.table({"media": pa.array([good_img, b"not a ppm", None], pa.binary())})
+    )
+    assert out["image_decode_error"].to_pylist()[0] is None
+    assert out["image_decode_error"].to_pylist()[1].startswith("DecodeError")
+    assert out["image_decode_error"].to_pylist()[2].startswith("DecodeError")
+    assert out["src_height"].to_pylist() == [4, 0, 0]
+
+    good_wav = encode_wav(np.array([1, -2, 3], np.int16), 8000)
+    out = AudioFeatureStage()(
+        pa.table({"media": pa.array([good_wav, b"RIFFgarbage", None], pa.binary())})
+    )
+    assert out["n_samples"].to_pylist() == [3, None, None]
+    errs = out["audio_decode_error"].to_pylist()
+    assert errs[0] is None and errs[1] and errs[2]

@@ -55,15 +55,30 @@ class DecodeImageStage:
                 "this container; use decoder='ppm' for netpbm bytes"
             )
 
-    def _decode(self, blob: bytes) -> tuple[np.ndarray, int, int]:
+    def _decode(self, blob: bytes) -> tuple[np.ndarray, int, int, str | None]:
+        """→ (pixels, src_h, src_w, error). C2 'errors are data': a
+        null/corrupt blob yields zero pixels + a decode_error string,
+        never a task failure (same soft-error model as the audio and
+        extract stages)."""
         if self.decoder == "ppm":
-            img = decode_ppm(blob)
+            try:
+                img = decode_ppm(blob)
+            except ValueError as exc:
+                return (
+                    np.zeros((self.h, self.w, 3), np.uint8),
+                    0,
+                    0,
+                    f"DecodeError: {exc}",
+                )
             sh, sw = img.shape[:2]
-            return resize_nearest(img, (self.h, self.w)), sh, sw
-        return _fake_pixels(blob, self.h, self.w), self.h, self.w
+            return resize_nearest(img, (self.h, self.w)), sh, sw, None
+        return _fake_pixels(blob, self.h, self.w), self.h, self.w, None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        decoded = [self._decode(b or b"") for b in batch[self.media_col].to_pylist()]
+        decoded = [
+            self._decode(b if b else b"")
+            for b in batch[self.media_col].to_pylist()
+        ]
         pixels = np.stack([d[0] for d in decoded])
         n = len(decoded)
         flat = pixels.reshape(n, -1)
@@ -82,6 +97,10 @@ class DecodeImageStage:
             )
             .append_column(
                 "src_width", pa.array([d[2] for d in decoded], pa.int32())
+            )
+            .append_column(
+                "image_decode_error",
+                pa.array([d[3] for d in decoded], pa.string()),
             )
         )
 
@@ -121,8 +140,8 @@ class AudioFeatureStage:
     (functions/codecs.decode_wav — RIFF PCM-16 chunk walk):
     sample count, rate, integer sum of |mono samples| and zero-crossing
     count — exact integers, so the stage is oracle-checkable end to end
-    (``q_audio_features``). A model-embedding variant would load its
-    model here in ``__init__`` (once per actor)."""
+    (the audio half of ``q_multimodal_features``). A model-embedding
+    variant would load its model here in ``__init__`` (once per actor)."""
 
     def __init__(self, media_col: str = "media"):
         self.media_col = media_col
@@ -156,7 +175,7 @@ class AudioFeatureStage:
             .append_column("sample_rate", pa.array(rates, pa.int64()))
             .append_column("sum_abs", pa.array(sum_abs, pa.int64()))
             .append_column("zero_crossings", pa.array(zc, pa.int64()))
-            .append_column("decode_error", pa.array(errs, pa.string()))
+            .append_column("audio_decode_error", pa.array(errs, pa.string()))
         )
 
 
