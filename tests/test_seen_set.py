@@ -157,6 +157,38 @@ class TestShardedSeenSet:
         out = ss.filter_unseen_dataset(cand.materialize()).to_pandas()
         assert sorted(out["key"].tolist()) == [15, 25]
 
+    def test_delta_snapshot_chain_restore(self, tmp_path):
+        """full@r0 + delta@r1 + delta@r2 must restore to exactly the
+        state a full snapshot would give — same table, same
+        next_surrogate, same filtering behavior."""
+        ss = ShardedSeenSet(num_shards=3, capacity_per_shard=2048)
+        dirs = []
+        rng = np.random.RandomState(7)
+        seq = 0
+        for rnd in range(3):
+            keys = rng.randint(0, 400, size=60).astype(np.int64)
+            seqs = np.arange(seq, seq + 60, dtype=np.int64)
+            seq += 60
+            ss.offer_batch(keys, seqs)
+            ss.commit_round()
+            d = str(tmp_path / f"seen_{rnd}")
+            ss.snapshot(d, mode="full" if rnd == 0 else "delta")
+            dirs.append(d)
+
+        restored = ShardedSeenSet(num_shards=3, capacity_per_shard=2048)
+        restored.restore_chain(dirs)
+        pd_orig = ss.to_table().to_pandas()
+        pd_rest = restored.to_table().to_pandas()
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(pd_orig, pd_rest)
+        assert restored.next_surrogate == ss.next_surrogate
+        # the rebuilt cuckoo filter keeps filtering correctly
+        probe = rng.randint(0, 800, size=200).astype(np.int64)
+        np.testing.assert_array_equal(
+            restored.lookup(probe), ss.lookup(probe)
+        )
+
     def test_to_table(self):
         ss = ShardedSeenSet(num_shards=3)
         ss.offer_batch(np.array([7, 8, 9]), np.array([2, 0, 1]))

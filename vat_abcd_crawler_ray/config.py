@@ -35,6 +35,9 @@ class CrawlConfig:
     # fetch_mode="http" opener config (stages/fetch.urllib_opener_factory)
     http_timeout_s: float = 30.0
     http_user_agent: str = "vat-abcd-crawler-ray/0.3"
+    # full seen-set snapshot every K rounds, O(round) deltas between —
+    # at 10^10 keys a per-round full rewrite is the IO bottleneck
+    snapshot_full_every: int = 8
 
 
 @dataclass

@@ -836,7 +836,10 @@ class CrawlRun:
         # point, so the per-round serial path carries neither the
         # snapshot IO nor the commit fsync.
         self._flush_pending_commit()
-        snap_futs = self.seen.snapshot_async(self.seen_dir(rnd)) + write_futs
+        snap_mode = "full" if rnd % cc.snapshot_full_every == 0 else "delta"
+        snap_futs = (
+            self.seen.snapshot_async(self.seen_dir(rnd), snap_mode) + write_futs
+        )
         phase_t["snapshot"] = _now() - t0
         self.metrics.rounds = rnd + 1
         self.metrics.fetched += n_fetched
@@ -864,6 +867,7 @@ class CrawlRun:
                 "frontier_dir": fdir,
                 "extracted_dir": out_dir,
                 "seen_snapshot": self.seen_dir(rnd),
+                "seen_snapshot_mode": snap_mode,
                 "next_seq": self.next_seq,
                 "next_surrogate": self.seen.next_surrogate,
                 "stats": self.metrics.per_round[-1],
@@ -1000,7 +1004,20 @@ class CrawlRun:
         if resume and self.manifest.last_complete_round() >= 0:
             last = self.manifest.last_complete_round()
             info = self.manifest.round_info(last)
-            self.seen.restore(info["seen_snapshot"])
+            # seen-set restore chain: walk back to the newest FULL
+            # snapshot, then replay the deltas committed after it
+            # (old manifests without the mode field are all-full)
+            base = last
+            while base > 0 and (
+                self.manifest.round_info(base).get("seen_snapshot_mode", "full")
+                != "full"
+            ):
+                base -= 1
+            chain = [
+                self.manifest.round_info(r)["seen_snapshot"]
+                for r in range(base, last + 1)
+            ]
+            self.seen.restore_chain(chain)
             self.next_seq = info["next_seq"]
             start_round = last + 1
         else:

@@ -76,6 +76,9 @@ class SeenSetShard:
         self.exact: dict[int, tuple[int, int]] = {}  # key -> (surrogate, first_seq)
         self.filter = CuckooFilter(capacity)
         self.pending: dict[int, int] = {}  # this round: key -> min seq
+        # (key, surrogate, first_seq) stored since the last snapshot —
+        # the payload of a DELTA snapshot (O(round), not O(total))
+        self._delta: list[tuple[int, int, int]] = []
 
     def offer(self, keys: np.ndarray, seqs: np.ndarray) -> np.ndarray:
         """Mark candidate (key, seq) pairs; returns a bool mask of keys
@@ -133,6 +136,7 @@ class SeenSetShard:
             self.filter.add(keys)
             for k, g, s in zip(keys.tolist(), surrogates.tolist(), first_seqs.tolist()):
                 self.exact[int(k)] = (int(g), int(s))
+                self._delta.append((int(k), int(g), int(s)))
         return len(self.exact)
 
     def assign_block(self, table: pa.Table, num_shards: int,
@@ -155,6 +159,7 @@ class SeenSetShard:
             seqs = table[seq_col].to_numpy()
             for i in sel:
                 self.exact[int(keys[i])] = (int(surr[i]), int(seqs[i]))
+                self._delta.append((int(keys[i]), int(surr[i]), int(seqs[i])))
         return len(self.exact)
 
     def lookup(self, keys: np.ndarray) -> np.ndarray:
@@ -188,10 +193,25 @@ class SeenSetShard:
         ] if len(mine) else mine
         return table.take(pa.array(unseen, pa.int64()))
 
-    def snapshot(self, path: str) -> None:
+    def snapshot(self, path: str, mode: str = "full") -> None:
+        """``full`` writes the whole shard state (O(total keys));
+        ``delta`` writes only the entries stored since the LAST snapshot
+        of either kind (O(round's novelty)) — the per-round scale path
+        at 10^10 keys. Both clear the delta buffer."""
+        tmp = path + ".tmp"
+        if mode == "delta":
+            d = np.array(self._delta, dtype=np.int64).reshape(-1, 3)
+            np.savez(
+                tmp,
+                delta_keys=d[:, 0],
+                delta_surrogates=d[:, 1],
+                delta_first_seqs=d[:, 2],
+            )
+            os.replace(tmp + ".npz", path)
+            self._delta = []
+            return
         keys = np.fromiter(self.exact.keys(), dtype=np.int64, count=len(self.exact))
         vals = np.array(list(self.exact.values()), dtype=np.int64).reshape(-1, 2)
-        tmp = path + ".tmp"
         # uncompressed: snapshots happen EVERY round; compression cost
         # grows with the seen set while the write stays page-cache fast
         np.savez(
@@ -204,6 +224,7 @@ class SeenSetShard:
             filter_slots=self.filter.slots,
         )
         os.replace(tmp + ".npz", path)
+        self._delta = []
 
     def restore(self, path: str) -> int:
         st = np.load(path)
@@ -219,6 +240,23 @@ class SeenSetShard:
             }
         )
         self.pending = {}
+        self._delta = []
+        return len(self.exact)
+
+    def apply_delta(self, path: str) -> int:
+        """Replay one delta snapshot on top of the current state (chain
+        restore: full base + deltas in round order). The cuckoo filter
+        is rebuilt incrementally by re-adding the delta keys."""
+        st = np.load(path)
+        keys = st["delta_keys"]
+        if len(keys):
+            self.filter.add(keys.astype(np.int64))
+            for k, g, s in zip(
+                keys.tolist(),
+                st["delta_surrogates"].tolist(),
+                st["delta_first_seqs"].tolist(),
+            ):
+                self.exact[int(k)] = (int(g), int(s))
         return len(self.exact)
 
     def size(self) -> int:
@@ -382,27 +420,37 @@ class ShardedSeenSet:
                     )
         ray.get(futs)
 
-    def snapshot_async(self, dir_path: str) -> list:
+    def snapshot_async(self, dir_path: str, mode: str = "full") -> list:
         """Submit the per-shard snapshot writes and return their
         futures WITHOUT blocking. Per-actor message ordering makes the
         snapshot a consistent post-round cut even while the next
         round's ``offer`` calls queue behind it; the caller must
         ``ray.get`` the futures before treating the round as durable
         (a half-written snapshot can only belong to an uncommitted
-        round, which is never restored)."""
+        round, which is never restored).
+
+        ``mode="delta"`` writes only each shard's additions since its
+        previous snapshot — O(round) IO instead of O(total seen);
+        restore then needs the chain back to the last full snapshot
+        (``restore_chain``). The crawl takes a full snapshot every
+        ``snapshot_full_every`` rounds and deltas between."""
         os.makedirs(dir_path, exist_ok=True)
         futs = [
-            s.snapshot.remote(os.path.join(dir_path, f"shard_{i}.npz"))
+            s.snapshot.remote(os.path.join(dir_path, f"shard_{i}.npz"), mode)
             for i, s in enumerate(self.shards)
         ]
         tmp = os.path.join(dir_path, "_meta.tmp")
         with open(tmp, "w") as fh:
-            fh.write(str(self.next_surrogate))
+            fh.write(f"{self.next_surrogate}\n{mode}")
         os.replace(tmp, os.path.join(dir_path, "_meta"))
         return futs
 
-    def snapshot(self, dir_path: str) -> None:
-        ray.get(self.snapshot_async(dir_path))
+    def snapshot(self, dir_path: str, mode: str = "full") -> None:
+        ray.get(self.snapshot_async(dir_path, mode))
+
+    def _read_meta(self, dir_path: str) -> int:
+        with open(os.path.join(dir_path, "_meta")) as fh:
+            return int(fh.read().split()[0])
 
     def restore(self, dir_path: str) -> None:
         ray.get(
@@ -411,8 +459,20 @@ class ShardedSeenSet:
                 for i, s in enumerate(self.shards)
             ]
         )
-        with open(os.path.join(dir_path, "_meta")) as fh:
-            self.next_surrogate = int(fh.read().strip())
+        self.next_surrogate = self._read_meta(dir_path)
+
+    def restore_chain(self, dirs: list[str]) -> None:
+        """Restore from a FULL snapshot followed by its delta snapshots
+        in round order; ``next_surrogate`` comes from the last link."""
+        self.restore(dirs[0])
+        for d in dirs[1:]:
+            ray.get(
+                [
+                    s.apply_delta.remote(os.path.join(d, f"shard_{i}.npz"))
+                    for i, s in enumerate(self.shards)
+                ]
+            )
+        self.next_surrogate = self._read_meta(dirs[-1])
 
     def to_table(self) -> pa.Table:
         """Full (key, surrogate, first_seq) table, sorted by surrogate.
