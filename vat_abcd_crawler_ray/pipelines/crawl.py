@@ -375,14 +375,17 @@ class CrawlRun:
         ray.get(futs)
         self.seen.next_surrogate = 1 + frontier.count()
 
-    def _write_frontier(self, df: pd.DataFrame, rnd: int, tag: str) -> None:
-        if df.empty:
+    def _write_frontier(self, frame, rnd: int, tag: str) -> None:
+        """``frame`` is a pandas DataFrame or an Arrow table; columns
+        are projected to FRONTIER_COLS order either way."""
+        if len(frame) == 0:
             return
+        if isinstance(frame, pa.Table):
+            t = frame.select(FRONTIER_COLS)
+        else:
+            t = pa.Table.from_pandas(frame[FRONTIER_COLS], preserve_index=False)
         os.makedirs(self.frontier_dir(rnd), exist_ok=True)
-        pq.write_table(
-            pa.Table.from_pandas(df, preserve_index=False),
-            os.path.join(self.frontier_dir(rnd), f"{tag}.parquet"),
-        )
+        pq.write_table(t, os.path.join(self.frontier_dir(rnd), f"{tag}.parquet"))
 
     # ---------------- selection ----------------
     def _budget_of(self, hosts: pd.Series) -> pd.Series:
@@ -765,44 +768,74 @@ class CrawlRun:
                 self.next_seq, self.next_seq + len(ck), dtype=np.int64
             )
             self.next_seq += len(ck)
+            base_surr = self.seen.next_surrogate
             fresh = self.seen.offer_batch(ck, child_seq)
             cand_idx, ck, child_seq = cand_idx[fresh], ck[fresh], child_seq[fresh]
-            admitted = self.seen.commit_round().to_pandas()
-            admitted_rows = len(admitted)
+            admitted_t = self.seen.commit_round()
+            admitted_rows = admitted_t.num_rows
             if admitted_rows:
-                cand_t = links.take(pa.array(cand_idx, pa.int64()))
-                cand = pd.DataFrame(
-                    {
-                        "url": cand_t["link_url"].to_pandas(),
-                        "canonical_url": cand_t["canonical_url"].to_pandas(),
-                        "key": ck,
-                        "host": cand_t["host"].to_pandas(),
-                        "parent_seq": cand_t["seq"].to_pandas(),
-                        "child_seq": child_seq,
-                    }
-                )
+                cand_t = links.select(
+                    ["link_url", "canonical_url", "host", "seq"]
+                ).take(pa.array(cand_idx, pa.int64()))
                 prio_by_seq = pd.Series(
                     winners["priority"].to_numpy(), index=winners["seq"].to_numpy()
                 )
-                cand["priority"] = (
-                    cand["parent_seq"].map(prio_by_seq).fillna(0.0).to_numpy() * 0.5
+                prio = (
+                    pd.Series(cand_t["seq"].to_numpy(zero_copy_only=False))
+                    .map(prio_by_seq)
+                    .fillna(0.0)
+                    .to_numpy()
+                    * 0.5
                 )
-                nf = cand.merge(
-                    admitted.rename(columns={"first_seq": "child_seq"}),
-                    on=["key", "child_seq"],
-                    how="inner",
-                )
-                new_frontier = pd.DataFrame(
-                    {
-                        "url": nf["url"],
-                        "canonical_url": nf["canonical_url"],
-                        "key": nf["key"],
-                        "host": nf["host"],
-                        "priority": nf["priority"],
-                        "seq": nf["child_seq"],
-                        "surrogate": nf["surrogate"],
-                    }
-                )
+                if admitted_rows == len(ck):
+                    # the (provably always) common case: every offered
+                    # key was admitted, and commit assigns surrogates
+                    # densely in first_seq (= child_seq) order, so
+                    # surrogate_i = base_surr + i — the old 6-column
+                    # pandas merge was an identity mapping; build the
+                    # frontier Arrow-native, no pandas round trip
+                    new_frontier = pa.table(
+                        {
+                            "url": cand_t["link_url"],
+                            "canonical_url": cand_t["canonical_url"],
+                            "key": pa.array(ck),
+                            "host": cand_t["host"],
+                            "priority": pa.array(prio),
+                            "seq": pa.array(child_seq),
+                            "surrogate": pa.array(
+                                base_surr
+                                + np.arange(len(ck), dtype=np.int64)
+                            ),
+                        }
+                    )
+                else:  # defensive fallback: join on (key, child_seq)
+                    admitted = admitted_t.to_pandas()
+                    cand = pd.DataFrame(
+                        {
+                            "url": cand_t["link_url"].to_pandas(),
+                            "canonical_url": cand_t["canonical_url"].to_pandas(),
+                            "key": ck,
+                            "host": cand_t["host"].to_pandas(),
+                            "child_seq": child_seq,
+                            "priority": prio,
+                        }
+                    )
+                    nf = cand.merge(
+                        admitted.rename(columns={"first_seq": "child_seq"}),
+                        on=["key", "child_seq"],
+                        how="inner",
+                    )
+                    new_frontier = pd.DataFrame(
+                        {
+                            "url": nf["url"],
+                            "canonical_url": nf["canonical_url"],
+                            "key": nf["key"],
+                            "host": nf["host"],
+                            "priority": nf["priority"],
+                            "seq": nf["child_seq"],
+                            "surrogate": nf["surrogate"],
+                        }
+                    )
         else:
             self.seen.commit_round()  # clears shard pending state
 
@@ -824,7 +857,7 @@ class CrawlRun:
                     moved += 1
             has_next = has_next or moved > 0
         if len(new_frontier):
-            self._write_frontier(new_frontier[FRONTIER_COLS], rnd + 1, "links")
+            self._write_frontier(new_frontier, rnd + 1, "links")
             has_next = True
         has_next = has_next or links_written  # distributed admission wrote
 

@@ -119,14 +119,19 @@ class SeenSetShard:
     def commit_round(self) -> pa.Table:
         """Round barrier step 1: return this shard's NEW (key, first_seq)
         pairs (keys never committed before), clearing the pending set."""
-        new = [(k, s) for k, s in self.pending.items() if k not in self.exact]
-        self.pending.clear()
-        new.sort(key=lambda t: t[1])
+        n = len(self.pending)
+        keys = np.fromiter(self.pending.keys(), np.int64, n)
+        seqs = np.fromiter(self.pending.values(), np.int64, n)
+        self.pending = {}
+        exact = self.exact
+        if exact and n:
+            mask = np.fromiter(
+                (k not in exact for k in keys.tolist()), bool, n
+            )
+            keys, seqs = keys[mask], seqs[mask]
+        order = np.argsort(seqs, kind="stable")
         return pa.table(
-            {
-                "key": pa.array([k for k, _ in new], pa.int64()),
-                "first_seq": pa.array([s for _, s in new], pa.int64()),
-            }
+            {"key": pa.array(keys[order]), "first_seq": pa.array(seqs[order])}
         )
 
     def assign(self, keys: np.ndarray, surrogates: np.ndarray, first_seqs: np.ndarray) -> int:
@@ -134,9 +139,11 @@ class SeenSetShard:
         keys = np.asarray(keys, dtype=np.int64)
         if len(keys):
             self.filter.add(keys)
-            for k, g, s in zip(keys.tolist(), surrogates.tolist(), first_seqs.tolist()):
-                self.exact[int(k)] = (int(g), int(s))
-                self._delta.append((int(k), int(g), int(s)))
+            kl = keys.tolist()
+            gl = np.asarray(surrogates).tolist()
+            sl = np.asarray(first_seqs).tolist()
+            self.exact.update(zip(kl, zip(gl, sl)))  # C-level bulk store
+            self._delta.extend(zip(kl, gl, sl))
         return len(self.exact)
 
     def assign_block(self, table: pa.Table, num_shards: int,
@@ -155,11 +162,11 @@ class SeenSetShard:
         sel = np.flatnonzero(mask)
         if len(sel):
             self.filter.add(keys[sel])
-            surr = table["surrogate"].to_numpy()
-            seqs = table[seq_col].to_numpy()
-            for i in sel:
-                self.exact[int(keys[i])] = (int(surr[i]), int(seqs[i]))
-                self._delta.append((int(keys[i]), int(surr[i]), int(seqs[i])))
+            kl = keys[sel].tolist()
+            gl = table["surrogate"].to_numpy()[sel].tolist()
+            sl = table[seq_col].to_numpy()[sel].tolist()
+            self.exact.update(zip(kl, zip(gl, sl)))
+            self._delta.extend(zip(kl, gl, sl))
         return len(self.exact)
 
     def lookup(self, keys: np.ndarray) -> np.ndarray:
