@@ -169,7 +169,12 @@ def _q_agg_partial(sf_dir: str):
         )
         return g.reset_index()
 
-    partials = li.map_batches(partial, batch_format="pandas")
+    # after the partial combine the data is ≤ |groups| (6) rows per
+    # block — coalesce before the shuffle so the sort/reduce fan-out
+    # follows DATA size, not cluster size (at 32 CPUs the groupby
+    # otherwise schedules cpus×2 map+reduce tasks over a few hundred
+    # rows, and the fixed task overhead dominates and anti-scales)
+    partials = li.map_batches(partial, batch_format="pandas").repartition(4)
     agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("psum", alias_name="sum_qty"),
         Sum("pcnt", alias_name="cnt"),

@@ -117,10 +117,30 @@ def _bench_queries(sf_dir: str, num_cpus: int) -> tuple[dict, dict]:
     derived["crawl_rounds"] = metrics.rounds
     derived["crawl_fetched"] = metrics.fetched
 
+    # The driver's sf0.1 documents/embeddings tables are tiny (5k docs,
+    # 2k vectors) — timings over them measure executor fixed overhead,
+    # not the operators. Replicate them deterministically into the
+    # saturated-compute regime (the crawl/extract benches already do
+    # this via BENCH_REPLICATE); BENCH_TABLES_FACTORS=1,1,1 restores
+    # the raw driver tables for comparison with pre-r3 numbers.
+    from vat_abcd_crawler_ray.sources.synthetic import bench_tables_dir
+
+    df_, ef_, lf_ = (
+        int(x)
+        for x in os.environ.get("BENCH_TABLES_FACTORS", "40,200,10").split(",")
+    )
+    tables = bench_tables_dir(
+        sf_dir, doc_factor=df_, emb_factor=ef_, li_factor=lf_
+    )
+    for name in ("documents", "embeddings", "lineitem"):
+        with open(os.path.join(tables, f"{name}.parquet"), "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
     # -- minhash near-dedup over documents
     t0 = time.perf_counter()
     docs = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(tables, "documents.parquet"),
         override_num_blocks=num_cpus * 2,
     )
     minhash_lsh_dedup(docs, threshold=0.8).count()
@@ -130,12 +150,12 @@ def _bench_queries(sf_dir: str, num_cpus: int) -> tuple[dict, dict]:
     t0 = time.perf_counter()
     import __ray_entry__ as entrymod
 
-    entrymod._q_agg_partial(sf_dir).to_pandas()
+    entrymod._q_agg_partial(tables).to_pandas()
     timings["agg_partial"] = time.perf_counter() - t0
 
     # -- knn brute force over embeddings
     t0 = time.perf_counter()
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = ray.data.read_parquet(os.path.join(tables, "embeddings.parquet"))
     qdf = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qdf = qdf[qdf["vec_id"] < 50]
     queries = pd.DataFrame(

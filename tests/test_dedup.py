@@ -70,6 +70,37 @@ class TestMinhashMath:
         true_j = inter / (s1.size + s2.size - inter)
         assert abs(est - true_j) < 0.15
 
+    def test_batch_kernels_bit_identical_to_scalar(self):
+        # the vectorized batch kernels must reproduce the scalar path
+        # bit-for-bit (the SQL oracle re-derives the scalar math)
+        from vat_abcd_crawler_ray.pipelines.dedup import (
+            band_buckets,
+            band_buckets_batch,
+            minhash_signatures_batch,
+        )
+
+        a, b = _perm_params(32)
+        texts = [
+            BASE,
+            BASE.replace("dog", "cat"),
+            "",  # empty
+            "ab",  # shorter than k=5 → whole-text fold
+            "abcd",  # exactly k-1
+            "abcde",  # exactly k → one shingle
+            "aaaaaaaaaa",  # all-identical shingles → unique collapses to 1
+            "naïve café — ünïcode ✓ text with ✨ emoji",  # multi-byte
+            BASE * 3,  # long
+        ]
+        sigs = minhash_signatures_batch(texts, a, b, k=5)
+        assert sigs.shape == (len(texts), 32)
+        for i, t in enumerate(texts):
+            expected = minhash_signature(char_shingles(t, 5), a, b)
+            np.testing.assert_array_equal(sigs[i], expected, err_msg=t[:30])
+        buckets = band_buckets_batch(sigs, bands=8)
+        assert buckets.shape == (len(texts), 8)
+        for i in range(len(texts)):
+            np.testing.assert_array_equal(buckets[i], band_buckets(sigs[i], 8))
+
     def test_ngram_jaccard(self):
         assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
         assert ngram_jaccard("a b c d e", "x y z w v") == 0.0

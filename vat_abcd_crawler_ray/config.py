@@ -26,7 +26,11 @@ class AbcdConfig:
 class CrawlConfig:
     num_seen_shards: int = 8
     seen_capacity_per_shard: int = 1 << 20
-    num_page_shards: int = 16  # simulated-network page store shards
+    # simulated-network page store shards; 0 = auto (scale with cluster
+    # CPUs — a real fetch tier (S3/HTTP) adds bandwidth with cluster
+    # size, so a fixed shard count would impose an artificial fetch
+    # ceiling at the larger cluster that the modeled system lacks)
+    num_page_shards: int = 0
     max_rounds: int = 64
     default_host_budget: int = 8  # max fetches per host per round
     salt_buckets: int = 16  # mega-host split factor (distributed select)

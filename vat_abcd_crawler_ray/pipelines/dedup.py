@@ -123,9 +123,114 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
 
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """num_perm minima of (a·h + b) mod P — exact int64, SQL-identical."""
-    v = (a[:, None] * shingles[None, :] + b[:, None]) % _MH_P
+    """num_perm minima of (a·h + b) mod P — exact int64, SQL-identical.
+    In-place ops: see the slow-path note in minhash_signatures_batch."""
+    v = a[:, None] * shingles[None, :]
+    v += b[:, None]
+    v %= _MH_P
     return v.min(axis=1)
+
+
+def _mod_p62(v: np.ndarray) -> np.ndarray:
+    """Exact in-place ``v mod P`` for 0 ≤ v < 2^62, P = 2^31−1: two
+    Mersenne folds (x ≡ (x>>31) + (x & P) mod P) + one correction —
+    ~6 cheap vector ops instead of integer division."""
+    hi = v >> 31
+    v &= _MH_P
+    v += hi
+    np.right_shift(v, 31, out=hi)
+    v &= _MH_P
+    v += hi
+    v[v >= _MH_P] -= _MH_P
+    return v
+
+
+def minhash_signatures_batch(
+    texts: list[str], a: np.ndarray, b: np.ndarray, k: int = 5
+) -> np.ndarray:
+    """(len(texts), num_perm) signature matrix, bit-identical to
+    ``minhash_signature(char_shingles(t, k), a, b)`` per row but
+    vectorized ACROSS the batch: one utf-32 encode of the joined text,
+    k global fold passes, segmented unique (lexsort + boundary diff)
+    and ``np.minimum.reduceat`` per permutation — no per-doc Python in
+    the hot loop (the per-doc path measured 0.19 ms/doc, ~10× this)."""
+    D = len(texts)
+    num_perm = len(a)
+    if D == 0:
+        return np.zeros((0, num_perm), dtype=np.int64)
+    lens = np.fromiter((len(t) for t in texts), np.int64, D)
+    cp = np.frombuffer("".join(texts).encode("utf-32-le"), np.uint32).astype(
+        np.int64
+    )
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    n = len(cp)
+    # global k-pass shingle fold; positions crossing doc boundaries are
+    # masked out by the per-doc valid ranges below
+    if n >= k:
+        h = np.zeros(n - k + 1, dtype=np.int64)
+        for j in range(k):
+            h *= _MH_CB
+            h += cp[j : n - k + 1 + j]
+            _mod_p62(h)
+    else:
+        h = np.zeros(0, dtype=np.int64)
+    cnt = np.where(lens >= k, lens - k + 1, 1)  # short docs: 1 whole-text hash
+    tot = int(cnt.sum())
+    seg = np.repeat(np.arange(D, dtype=np.int64), cnt)
+    within = np.arange(tot, dtype=np.int64) - np.repeat(
+        np.cumsum(cnt) - cnt, cnt
+    )
+    hv = np.empty(tot, dtype=np.int64)
+    long_mask = lens[seg] >= k
+    hv[long_mask] = h[(starts[seg] + within)[long_mask]]
+    short_docs = np.flatnonzero(lens < k)
+    for d in short_docs:  # rare; each is a ≤k-codepoint fold
+        hh = np.int64(0)
+        for c in cp[starts[d] : ends[d]]:
+            hh = (hh * _MH_CB + c) % _MH_P
+        hv[np.searchsorted(seg, d)] = hh
+    # segmented unique: sort by (seg, hv), keep boundary rows
+    order = np.lexsort((hv, seg))
+    seg_s, hv_s = seg[order], hv[order]
+    keep = np.ones(tot, dtype=bool)
+    keep[1:] = (seg_s[1:] != seg_s[:-1]) | (hv_s[1:] != hv_s[:-1])
+    seg_u, hv_u = seg_s[keep], hv_s[keep]
+    doc_starts = np.flatnonzero(
+        np.concatenate([[True], seg_u[1:] != seg_u[:-1]])
+    )
+    # per-perm loop over ONE reusable cache-resident buffer instead of
+    # a (num_perm × S) matrix: the matrix form allocates 8·perm·S bytes
+    # per batch (77 MB at 512×300-char docs) and saturates memory
+    # bandwidth across concurrent workers (measured 16 s → 66 s when
+    # batch size ×8); this form's working set is 8·S bytes.
+    sigs = np.empty((D, num_perm), dtype=np.int64)
+    buf = np.empty(len(hv_u), dtype=np.int64)
+    for p in range(num_perm):
+        np.multiply(hv_u, a[p], out=buf)
+        buf += b[p]
+        _mod_p62(buf)
+        sigs[:, p] = np.minimum.reduceat(buf, doc_starts)
+    return sigs
+
+
+def band_buckets_batch(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(D, bands) bucket keys — ``band_buckets`` vectorized across a
+    signature matrix."""
+    D = sigs.shape[0]
+    rows = sigs.reshape(D, bands, -1)
+    h1 = np.broadcast_to(
+        np.arange(bands, dtype=np.int64), (D, bands)
+    ).copy()
+    h2 = h1.copy()
+    for r in range(rows.shape[2]):
+        h1 *= _MH_B1
+        h1 += rows[:, :, r]
+        _mod_p62(h1)
+        h2 *= _MH_B2
+        h2 += rows[:, :, r]
+        _mod_p62(h2)
+    return h1 * _MH_P + h2
 
 
 def band_buckets(sig: np.ndarray, bands: int) -> np.ndarray:
@@ -178,9 +283,18 @@ def _hot_buckets(
         batch_format="pandas",
     ).materialize()
     if partials.count() <= driver_limit:
-        pdf = partials.to_pandas()
-        totals = pdf.groupby("bucket", sort=False)["n"].sum()
-        return totals[totals >= 2].index.to_numpy(dtype=np.int64)
+        import pyarrow as pa
+
+        tbl = pa.concat_tables(ray.get(partials.to_arrow_refs()))
+        bk = tbl["bucket"].to_numpy(zero_copy_only=False)
+        ns = tbl["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(bk, kind="stable")
+        bk, ns = bk[order], ns[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], bk[1:] != bk[:-1]])
+        )
+        sums = np.add.reduceat(ns, starts) if len(bk) else np.zeros(0)
+        return bk[starts][sums >= 2].astype(np.int64)
     from ray.data.aggregate import Sum
 
     hot = (
@@ -193,6 +307,170 @@ def _hot_buckets(
         .to_pandas()
     )
     return hot["bucket"].to_numpy(dtype=np.int64)
+
+
+# Max hot-bucket count for the broadcast star verify: the rep table
+# costs ~(16 + 8·num_perm) B per bucket, so 1M buckets ≈ 0.5 GiB in the
+# object store — comfortably a broadcast; above it the grouped shuffle
+# path takes over.
+_REP_BROADCAST_LIMIT = 1_000_000
+
+
+def _verify_fanout(n_groups: int, groups_per_task: int = 256) -> int:
+    """Block count for the grouped verify shuffle: enough tasks to
+    spread the per-group pandas overhead (~0.3 ms each), capped by the
+    data (``groups_per_task`` per task) so tiny hot sets don't schedule
+    cluster-proportional fan-out, and by 2× cluster CPUs."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(1, min((n_groups + groups_per_task - 1) // groups_per_task, cpus * 2))
+
+
+def _sig_matrix(col: pd.Series) -> np.ndarray:
+    """(D, num_perm) int64 view of a bytes signature column."""
+    if not len(col):
+        return np.zeros((0, 1), np.int64)
+    return np.frombuffer(b"".join(col), np.int64).reshape(len(col), -1)
+
+
+def _hot_reps(
+    sigs_ds: "ray.data.Dataset", bands: int, driver_limit: int = 5_000_000
+):
+    """(hot_buckets, rep_ids) for buckets with ≥2 band-table rows, via
+    ONE slim pass over the per-doc signature table: each batch
+    recomputes its docs' band buckets from the signatures (a pure
+    function — the ×bands-replicated band table is never materialized)
+    and emits a partial (bucket, n, min_id) row per distinct bucket.
+    Below ``driver_limit`` partial rows the combine is a driver numpy
+    reduceat (Ray's sort groupby measured 37 s on 80k mostly-singleton
+    buckets); above it a distributed groupby(Sum, Min) and the driver
+    only pulls the duplicate-bounded hot slice. Returns None if the
+    hot set exceeds the broadcast gate (caller falls back to the
+    grouped shuffle verify)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series(dtype=np.int64),
+                    "n": pd.Series(dtype=np.int64),
+                    "min_id": pd.Series(dtype=np.int64),
+                }
+            )
+        ids = df["id"].to_numpy(np.int64)
+        flat = band_buckets_batch(_sig_matrix(df["sig"]), bands).ravel()
+        mids = np.repeat(ids, bands)
+        order = np.lexsort((mids, flat))
+        flat, mids = flat[order], mids[order]
+        first = np.ones(len(flat), dtype=bool)
+        first[1:] = flat[1:] != flat[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(flat)))
+        return pd.DataFrame(
+            {"bucket": flat[first], "n": counts, "min_id": mids[first]}
+        )
+
+    partials = sigs_ds.map_batches(partial, batch_format="pandas").materialize()
+    if partials.count() <= driver_limit:
+        import pyarrow as pa
+
+        tbl = pa.concat_tables(ray.get(partials.to_arrow_refs()))
+        bk = tbl["bucket"].to_numpy(zero_copy_only=False)
+        ns = tbl["n"].to_numpy(zero_copy_only=False)
+        mi = tbl["min_id"].to_numpy(zero_copy_only=False)
+        if not len(bk):
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        order = np.lexsort((mi, bk))
+        bk, ns, mi = bk[order], ns[order], mi[order]
+        starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
+        sums = np.add.reduceat(ns, starts)
+        hot = sums >= 2
+        return (
+            bk[starts][hot].astype(np.int64),
+            mi[starts][hot].astype(np.int64),
+        )
+    from ray.data.aggregate import Min, Sum
+
+    hot = (
+        partials.groupby("bucket")
+        .aggregate(Sum("n", alias_name="total"), Min("min_id", alias_name="rep"))
+        .map_batches(
+            lambda df: df.loc[df["total"] >= 2, ["bucket", "rep"]],
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    if hot.count() > _REP_BROADCAST_LIMIT:
+        return None
+    pdf = hot.to_pandas().sort_values("bucket")
+    return (
+        pdf["bucket"].to_numpy(np.int64),
+        pdf["rep"].to_numpy(np.int64),
+    )
+
+
+def _star_verify_broadcast(
+    sigs_ds: "ray.data.Dataset",
+    rep_buckets: np.ndarray,
+    rep_ids: np.ndarray,
+    bands: int,
+    threshold: float,
+) -> "ray.data.Dataset":
+    """Shuffle-free star verification over the per-doc signature table:
+    fetch the hot buckets' min-id representative signatures (a filter
+    pass bounded by the rep count, which already passed the broadcast
+    gate), broadcast them, and in ONE vectorized pass recompute each
+    doc's band buckets, match them against the rep table and compare
+    signatures. Emits the same edge set as the grouped star verify:
+    (rep_id, member_id) where the estimated Jaccard (mean signature
+    agreement) ≥ threshold — a member meets each hot bucket it occupies
+    exactly as a band-table row would, minus the ×bands sig-byte
+    replication through the object store (measured 1.6 GB → 0.1 GB at
+    200k docs × 16 bands × 64 perms)."""
+    uniq_rep_ids = np.unique(rep_ids)
+    rep_id_ref = ray.put(uniq_rep_ids)
+
+    def is_rep(df: pd.DataFrame) -> pd.DataFrame:
+        ri = ray.get(rep_id_ref)
+        if not len(ri) or not len(df):
+            return df.iloc[:0][["id", "sig"]]
+        ids = df["id"].to_numpy(np.int64)
+        pos = np.searchsorted(ri, ids)
+        pos[pos == len(ri)] = 0
+        return df.loc[ri[pos] == ids, ["id", "sig"]]
+
+    reps = sigs_ds.map_batches(is_rep, batch_format="pandas").to_pandas()
+    rid = reps["id"].to_numpy(np.int64)
+    rorder = np.argsort(rid)
+    rep_sigs_by_id = _sig_matrix(reps["sig"].iloc[rorder])  # id-sorted
+    # per-bucket → index into the id-sorted rep sig matrix (a doc can
+    # rep many buckets; near-dup members share most bands, so keying
+    # comparisons by REP ID — not bucket — collapses the ~bands-fold
+    # duplicate (member, rep) pairs before the signature compare)
+    rep_idx = np.searchsorted(rid[rorder], rep_ids)
+    rep_ref = ray.put((rep_buckets, uniq_rep_ids, rep_idx, rep_sigs_by_id))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        rb, uri, ridx, rs = ray.get(rep_ref)
+        if not len(df) or not len(rb):
+            return pd.DataFrame(_EMPTY_EDGES)
+        ids = df["id"].to_numpy(np.int64)
+        sigs = _sig_matrix(df["sig"])
+        flat = band_buckets_batch(sigs, bands).ravel()
+        rows = np.repeat(np.arange(len(df)), bands)
+        pos = np.searchsorted(rb, flat)
+        pos[pos == len(rb)] = 0
+        valid = (rb[pos] == flat) & (uri[ridx[pos]] != ids[rows])
+        rows, ri_hit = rows[valid], ridx[pos[valid]]
+        # one comparison per distinct (member, rep) pair
+        pair = np.unique(rows * np.int64(len(rs) + 1) + ri_hit)
+        rows, ri_hit = pair // (len(rs) + 1), pair % (len(rs) + 1)
+        est = (
+            (sigs[rows] == rs[ri_hit]).mean(axis=1) if len(rows) else np.zeros(0)
+        )
+        hit = est >= threshold
+        return pd.DataFrame({"src": uri[ri_hit[hit]], "dst": ids[rows[hit]]})
+
+    return sigs_ds.map_batches(verify, batch_format="pandas")
 
 
 def _drop_duplicate_ids(
@@ -229,63 +507,85 @@ def minhash_lsh_dedup(
     """Near-duplicate removal via MinHash + LSH banding; returns the
     kept rows (min id per duplicate cluster)."""
     assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
     a, b = _perm_params(num_perm, seed)
 
+    # Per-DOC signature table: (id, sig-bytes) once per doc. Band
+    # buckets are a pure function of the signature, so every later
+    # stage recomputes them per batch (64 cheap int folds per doc)
+    # instead of shipping a ×bands-replicated (id, bucket, sig) band
+    # table through the object store — measured 1.6 GB → 0.1 GB and
+    # 40.8 s → see bench at 200k docs × 16 bands.
     def sign(batch: pd.DataFrame) -> pd.DataFrame:
-        ids_rep, sig_rep, bucket_arrs = [], [], []
-        for did, text in zip(batch[id_col], batch[text_col]):
-            sig = minhash_signature(char_shingles(text, shingle_k), a, b)
-            sig_bytes = sig.tobytes()
-            # ONE int64 bucket key carries the (band, band-signature)
-            # pair — single-key groupby instead of the pathological
-            # multi-key sort
-            bucket_arrs.append(band_buckets(sig, bands))
-            ids_rep.extend([did] * bands)
-            sig_rep.extend([sig_bytes] * bands)
-        return pd.DataFrame(
-            {
-                "id": np.asarray(ids_rep, dtype=np.int64),
-                "bucket": np.concatenate(bucket_arrs)
-                if bucket_arrs
-                else np.zeros(0, np.int64),
-                "sig": sig_rep,
-            }
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        sigs = minhash_signatures_batch(
+            list(batch[text_col]), a, b, shingle_k
         )
+        return pd.DataFrame({"id": ids, "sig": [s.tobytes() for s in sigs]})
 
-    signed = ds.select_columns([id_col, text_col]).map_batches(
+    sigs_ds = ds.select_columns([id_col, text_col]).map_batches(
         sign, batch_format="pandas", batch_size=512  # bound signature RAM
     )
-    signed = signed.materialize()  # consumed twice (hot count + filter)
+    sigs_ds = sigs_ds.materialize()  # consumed by hot/rep pass + verify
 
-    hot_ref = ray.put(_hot_buckets(signed))
-
-    def in_hot(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["bucket"].isin(ray.get(hot_ref))]
-
-    # STAR verification inside each bucket group, REMOTE: estimate
-    # Jaccard only against the min-id representative — O(|bucket|), not
+    # STAR verification: estimate Jaccard only against the min-id
+    # representative of each hot (≥2-member) bucket — O(|bucket|), not
     # O(|bucket|²); transitive members meet the same representative
     # through other bands, and min-label components still merge across
-    # buckets. (Round 1 pulled candidates to the driver here.)
-    def star_verify(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("id").sort_values("id")
-        if len(g) < 2:
-            return pd.DataFrame(_EMPTY_EDGES)
-        ids = g["id"].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.int64) for s in g["sig"]])
-        est = (sigs[1:] == sigs[0]).mean(axis=1)
-        hit = np.flatnonzero(est >= threshold)
-        return pd.DataFrame(
-            {"src": np.full(len(hit), ids[0]), "dst": ids[1 + hit]}
-        )
+    # buckets.
+    #
+    # Below the gate the rep table (one (bucket, id, sig) per hot
+    # bucket) is BROADCAST, so verification is a row-local vectorized
+    # map_batches with NO shuffle. Above the gate (rep table too big to
+    # broadcast: ~8·num_perm bytes per bucket) fall back to a grouped
+    # shuffle star verify over an (id, bucket, sig) band table built
+    # only in that branch.
+    reps = _hot_reps(sigs_ds, bands)
+    if reps is not None:
+        rep_buckets, rep_ids = reps
+        edges = _star_verify_broadcast(
+            sigs_ds, rep_buckets, rep_ids, bands, threshold
+        ).materialize()
+    else:
 
-    edges = (
-        signed.map_batches(in_hot, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(star_verify, batch_format="pandas")
-        .materialize()
-    )
+        def to_bands(df: pd.DataFrame) -> pd.DataFrame:
+            sigs = _sig_matrix(df["sig"])
+            return pd.DataFrame(
+                {
+                    "id": np.repeat(df["id"].to_numpy(np.int64), bands),
+                    "bucket": band_buckets_batch(sigs, bands).ravel(),
+                    "sig": np.repeat(df["sig"].to_numpy(), bands),
+                }
+            )
+
+        signed = sigs_ds.map_batches(to_bands, batch_format="pandas")
+        signed = signed.materialize()
+        hot_arr = _hot_buckets(signed)
+        hot_ref = ray.put(hot_arr)
+
+        def in_hot(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["bucket"].isin(ray.get(hot_ref))]
+
+        def star_verify(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.drop_duplicates("id").sort_values("id")
+            if len(g) < 2:
+                return pd.DataFrame(_EMPTY_EDGES)
+            ids = g["id"].to_numpy()
+            sigs = np.stack(
+                [np.frombuffer(s, dtype=np.int64) for s in g["sig"]]
+            )
+            est = (sigs[1:] == sigs[0]).mean(axis=1)
+            hit = np.flatnonzero(est >= threshold)
+            return pd.DataFrame(
+                {"src": np.full(len(hit), ids[0]), "dst": ids[1 + hit]}
+            )
+
+        edges = (
+            signed.map_batches(in_hot, batch_format="pandas")
+            .repartition(_verify_fanout(len(hot_arr)))
+            .groupby("bucket")
+            .map_groups(star_verify, batch_format="pandas")
+            .materialize()
+        )
 
     out = _drop_duplicate_ids(ds, edges, id_col)
     return (out, edges) if return_edges else out
@@ -402,10 +702,18 @@ def simhash_dedup(
     )
     signed = signed.materialize()
 
-    hot_ref = ray.put(_hot_buckets(signed))
+    hot_arr = _hot_buckets(signed)
+    hot_ref = ray.put(hot_arr)
 
     def in_hot(df: pd.DataFrame) -> pd.DataFrame:
         return df[df["bucket"].isin(ray.get(hot_ref))]
+
+    # Verify is genuine ALL-PAIRS within each bucket (a pair can be
+    # close without either being close to the min-id member), so the
+    # broadcast star trick doesn't apply — keep the group shuffle but
+    # size its fan-out by GROUP count (the per-group pandas overhead is
+    # the serial cost), capped at 2× cluster CPUs.
+    verify_blocks = _verify_fanout(len(hot_arr))
 
     hamming = hamming_max
 
@@ -430,6 +738,7 @@ def simhash_dedup(
 
     edges = (
         signed.map_batches(in_hot, batch_format="pandas")
+        .repartition(verify_blocks)
         .groupby("bucket")
         .map_groups(pair_verify, batch_format="pandas")
         .materialize()

@@ -81,8 +81,16 @@ def knn_bruteforce(
         )
         return g.head(k)
 
+    # partial outputs are ≤ Q×k rows per block; coalesce to a block
+    # count sized by that DATA volume (~64k rows/block) before the
+    # groupby so the merge shuffle's fan-out doesn't track cluster
+    # size — with 50 queries on 32 CPUs the un-coalesced groupby
+    # scheduled 64 map+reduce tasks over ~32k total rows and the
+    # per-task overhead anti-scaled
+    n_merge_blocks = max(1, (len(qids) * k + 65535) // 65536)
     return (
         ds.map_batches(partial, batch_format="pandas")
+        .repartition(n_merge_blocks)
         .groupby(query_id_col)
         .map_groups(merge, batch_format="pandas")
     )

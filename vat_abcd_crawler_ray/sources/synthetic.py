@@ -318,3 +318,83 @@ def corpus_dir(sf_dir: str, cache_root: str = CACHE_ROOT, replicate: int = 1,
         # lost a race with a concurrent generator — its output is identical
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def _replicate_tables(sf_dir: str, out: str, doc_factor: int,
+                      emb_factor: int, li_factor: int) -> None:
+    """Deterministic saturated-regime copies of the dedup / knn / agg
+    bench inputs. The driver's sf0.1 tables are tiny (5k docs / 2k
+    vectors), so timings over them measure executor fixed overhead, not
+    the operators; these replicas put each stage in the regime where
+    compute dominates — the regime the 100-TB design targets.
+
+    - ``documents``: each replica appends a per-replica token to the
+      text (a NEAR-duplicate — a real dedup workload, not an exact-dup
+      degenerate case) and offsets ``doc_id`` so ids stay unique.
+    - ``embeddings``: each replica cyclically rolls the vector by its
+      replica index (deterministic, distribution-preserving) with
+      offset ``vec_id``.
+    - ``lineitem``: replicated as-is (the grouped-agg result is the
+      same 6 groups at any factor).
+    """
+    import pandas as pd
+
+    os.makedirs(out, exist_ok=True)
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    id_span = int(docs["doc_id"].max()) + 1
+    reps = []
+    for r in range(doc_factor):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + r * id_span
+        if r:
+            d["text"] = d["text"] + f" rep{r}"
+        reps.append(d)
+    pd.concat(reps, ignore_index=True).to_parquet(
+        os.path.join(out, "documents.parquet"), row_group_size=1 << 14
+    )
+
+    emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    vspan = int(emb["vec_id"].max()) + 1
+    mat = np.stack(emb["embedding"].to_numpy())
+    reps = []
+    for r in range(emb_factor):
+        e = emb.copy()
+        e["vec_id"] = e["vec_id"] + r * vspan
+        e["embedding"] = list(np.roll(mat, r, axis=1))
+        reps.append(e)
+    pd.concat(reps, ignore_index=True).to_parquet(
+        os.path.join(out, "embeddings.parquet"), row_group_size=1 << 14
+    )
+
+    li = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    pd.concat([li] * li_factor, ignore_index=True).to_parquet(
+        os.path.join(out, "lineitem.parquet"), row_group_size=1 << 17
+    )
+
+
+def bench_tables_dir(sf_dir: str, cache_root: str = CACHE_ROOT,
+                     doc_factor: int = 40, emb_factor: int = 200,
+                     li_factor: int = 10) -> str:
+    """Generate-once cache for the replicated bench tables (same atomic
+    rename protocol as ``corpus_dir``)."""
+    sf_dir = os.path.abspath(sf_dir)
+    key = (sf_dir.strip("/").replace("/", "_")
+           + f"_tables_d{doc_factor}_e{emb_factor}_l{li_factor}")
+    out = os.path.join(cache_root, key)
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    tmp = out + f".tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    _replicate_tables(sf_dir, tmp, doc_factor, emb_factor, li_factor)
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as fh:
+        fh.write("ok")
+    os.makedirs(cache_root, exist_ok=True)
+    if os.path.exists(out) and not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

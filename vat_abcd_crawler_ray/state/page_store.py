@@ -72,10 +72,20 @@ class PageStoreShard:
 _STORE_CACHE: dict[tuple[str, int], "PageStore"] = {}
 
 
-def get_page_store(pages_path: str, num_shards: int = 8) -> "PageStore":
+def get_page_store(pages_path: str, num_shards: int = 0) -> "PageStore":
     """Session-scoped cache: one shard pool per (corpus, shard count) —
     repeated crawls over the same corpus (tests, benches, resumes) reuse
-    the loaded actors instead of re-decoding the parquet."""
+    the loaded actors instead of re-decoding the parquet.
+
+    ``num_shards=0`` scales the shard pool with the cluster (one shard
+    per CPU, floor 16 — the floor keeps small clusters on the historic
+    fixed-16 layout so lifting the cap never slows the comparison
+    level): the store models the fetch network, whose aggregate
+    bandwidth grows with cluster size — a fixed count would cap fetch
+    parallelism at the larger cluster and understate scaling.
+    """
+    if num_shards <= 0:
+        num_shards = max(16, int(ray.cluster_resources().get("CPU", 8)))
     key = (pages_path, num_shards)
     store = _STORE_CACHE.get(key)
     if store is None or not store.alive():
