@@ -151,42 +151,51 @@ def _q_filter_project(sf_dir: str):
 
 def _q_agg_partial(sf_dir: str):
     """Q1-style grouped aggregate with per-batch partial combine before
-    the shuffle (the pre-aggregation pattern)."""
-    from ray.data.aggregate import Max, Sum
+    the shuffle (the pre-aggregation pattern). All-Arrow: the pandas
+    partial spent 6 s converting 6M string rows at bench scale where
+    ``pa.TableGroupBy`` (C++ hash agg) does the same in <1 s, and the
+    final combine is a single-task coalesce — the partials are ≤
+    |groups| (6) rows per block, so Ray's sort-based ``groupby`` over
+    them only adds two all-to-all barriers of pure fixed overhead
+    (measured 15.9 s → 1.2 s end-to-end). The combine input stays
+    bounded at |groups|·|blocks| rows regardless of input scale."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     li = _read(
         sf_dir,
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
     )
+    cut = pa.scalar(datetime.datetime(1998, 9, 1))
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-01")]
-        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
-            psum=("l_quantity", "sum"),
-            pcnt=("l_quantity", "size"),
-            pmax=("l_extendedprice", "max"),
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cut))
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count"), ("l_extendedprice", "max")]
         )
-        return g.reset_index()
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "psum", "pcnt", "pmax"]
+        )
 
-    # after the partial combine the data is ≤ |groups| (6) rows per
-    # block — coalesce before the shuffle so the sort/reduce fan-out
-    # follows DATA size, not cluster size (at 32 CPUs the groupby
-    # otherwise schedules cpus×2 map+reduce tasks over a few hundred
-    # rows, and the fixed task overhead dominates and anti-scales)
-    partials = li.map_batches(partial, batch_format="pandas").repartition(4)
-    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("psum", alias_name="sum_qty"),
-        Sum("pcnt", alias_name="cnt"),
-        Max("pmax", alias_name="max_price"),
+    def combine(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("psum", "sum"), ("pcnt", "sum"), ("pmax", "max")]
+        )
+        g = g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "cnt", "max_price"]
+        )
+        return g.append_column(
+            "avg_qty", pc.divide(g["sum_qty"], pc.cast(g["cnt"], pa.float64()))
+        )
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow")
     )
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["avg_qty"] = df["sum_qty"] / df["cnt"]
-        df["cnt"] = df["cnt"].astype(np.int64)
-        return df
-
-    return agg.map_batches(finish, batch_format="pandas")
 
 
 def _q_semi_join_exists(sf_dir: str):

@@ -30,6 +30,21 @@ def _as_matrix(col) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
 
 
+def _matrix_from_arrow(arr) -> np.ndarray:
+    """(n, dim) float64 from an Arrow list/fixed_size_list column —
+    one flat buffer copy, no per-row Python (``_as_matrix`` measured
+    seconds per 100k rows; this is milliseconds)."""
+    import pyarrow as pa
+
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if not len(a):
+        return np.zeros((0, 1), np.float64)
+    flat = a.flatten().to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=False
+    )
+    return flat.reshape(len(a), -1)
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
 
@@ -51,28 +66,49 @@ def knn_bruteforce(
     qids = queries[query_id_col].to_numpy()
     q_ref = ray.put((qids, qm))
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(t):
+        import pyarrow as pa
+
         qids_, qm_ = ray.get(q_ref)
-        ids = batch[id_col].to_numpy()
-        m = _normalize(_as_matrix(batch[vec_col]))
+        empty = pa.table(
+            {
+                query_id_col: pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
+        )
+        if not t.num_rows:
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_matrix_from_arrow(t[vec_col]))
         sim = qm_ @ m.T  # (Q, B)
-        out_q, out_n, out_c = [], [], []
-        for qi in range(len(qids_)):
-            s = sim[qi]
-            nb_ids = ids
-            if exclude_self:
-                keep = nb_ids != qids_[qi]
-                s, nb_ids = s[keep], nb_ids[keep]
-            if len(s) == 0:
-                continue
-            top = min(k, len(s))
-            # deterministic partial top-k: sort by (-cos, id)
-            order = np.lexsort((nb_ids, -s))[:top]
-            out_q.extend([qids_[qi]] * top)
-            out_n.extend(nb_ids[order])
-            out_c.extend(s[order])
-        return pd.DataFrame(
-            {query_id_col: out_q, "neighbor_id": out_n, "cos": out_c}
+        if exclude_self:
+            sim[qids_[:, None] == ids[None, :]] = -np.inf
+        B = sim.shape[1]
+        # vectorized partial top-k across ALL queries: argpartition by
+        # cosine with a small slack so (-cos, id)-order ties at the kth
+        # boundary survive to the deterministic lexsort below (a full
+        # per-query sort of the batch measured ~50× this)
+        kk = min(k + 8, B)
+        idx = (
+            np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+            if kk < B
+            else np.broadcast_to(np.arange(B), sim.shape).copy()
+        )
+        cand = np.take_along_axis(sim, idx, axis=1)  # (Q, kk)
+        nb = ids[idx]
+        qrow = np.repeat(np.arange(len(qids_)), kk)
+        order = np.lexsort((nb.ravel(), -cand.ravel(), qrow))
+        qs = qrow[order]
+        ns = nb.ravel()[order]
+        cs = cand.ravel()[order]
+        keep = (np.arange(len(qs)) % kk < k) & np.isfinite(cs)
+        return pa.table(
+            {
+                query_id_col: pa.array(qids_[qs[keep]]),
+                "neighbor_id": pa.array(ns[keep]),
+                "cos": pa.array(cs[keep]),
+            }
         )
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
@@ -89,7 +125,7 @@ def knn_bruteforce(
     # per-task overhead anti-scaled
     n_merge_blocks = max(1, (len(qids) * k + 65535) // 65536)
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .repartition(n_merge_blocks)
         .groupby(query_id_col)
         .map_groups(merge, batch_format="pandas")
