@@ -132,8 +132,14 @@ def _bench_queries(sf_dir: str, num_cpus: int) -> tuple[dict, dict]:
     tables = bench_tables_dir(
         sf_dir, doc_factor=df_, emb_factor=ef_, li_factor=lf_
     )
+    import pyarrow.parquet as _pq
+
     for name in ("documents", "embeddings", "lineitem"):
-        with open(os.path.join(tables, f"{name}.parquet"), "rb") as fh:
+        path = os.path.join(tables, f"{name}.parquet")
+        # input sizes ride along in the JSON so round-over-round
+        # comparisons can see when the bench protocol itself changed
+        derived[f"{name}_rows"] = _pq.read_metadata(path).num_rows
+        with open(path, "rb") as fh:  # warm the page cache
             while fh.read(1 << 24):
                 pass
 

@@ -117,6 +117,49 @@ class TestMinhashMath:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestGateBranches:
+    """The size-gated scale paths must agree with the default paths."""
+
+    def test_hot_reps_distributed_equals_driver(self):
+        from vat_abcd_crawler_ray.pipelines.dedup import (
+            _hot_reps,
+            _perm_params,
+            minhash_signatures_batch,
+        )
+
+        a, b = _perm_params(64)
+        rows = _docs()
+        sigs = minhash_signatures_batch([r["text"] for r in rows], a, b, 5)
+        sigs_ds = rd.from_items(
+            [
+                {"id": r["doc_id"], "sig": s.tobytes()}
+                for r, s in zip(rows, sigs)
+            ]
+        )
+        drv = _hot_reps(sigs_ds, bands=16, driver_limit=10_000_000)
+        dist = _hot_reps(sigs_ds, bands=16, driver_limit=0)
+        np.testing.assert_array_equal(drv[0], dist[0])
+        np.testing.assert_array_equal(drv[1], dist[1])
+
+    def test_minhash_grouped_fallback_equals_broadcast(self, monkeypatch):
+        import vat_abcd_crawler_ray.pipelines.dedup as dd
+
+        kept_default = sorted(
+            dd.minhash_lsh_dedup(rd.from_items(_docs()), threshold=0.8)
+            .to_pandas()["doc_id"]
+            .tolist()
+        )
+        # force the above-gate band-table grouped star verify
+        monkeypatch.setattr(dd, "_REP_BROADCAST_LIMIT", -1)
+        kept_grouped = sorted(
+            dd.minhash_lsh_dedup(rd.from_items(_docs()), threshold=0.8)
+            .to_pandas()["doc_id"]
+            .tolist()
+        )
+        assert kept_default == kept_grouped
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestNearDedup:
     def test_minhash_lsh_removes_exact_and_near(self):
         out, edges = minhash_lsh_dedup(

@@ -382,6 +382,8 @@ def _hot_reps(
             [("n", "sum"), ("min_id", "min")]
         )
         g = g.filter(pc.greater_equal(g["n_sum"], pa.scalar(2)))
+        if g.num_rows > _REP_BROADCAST_LIMIT:
+            return None  # same broadcast gate as the distributed branch
         bk = g["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
         mi = g["min_id_min"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(bk)
