@@ -79,6 +79,19 @@ def cmd_tables(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_gpkg(args: argparse.Namespace) -> int:
+    import ray
+
+    from .pipelines.gpkg import units_gpkg
+
+    _init_ray(args.num_cpus)
+    stats = units_gpkg(args.run_dir, args.out, layer=args.layer)
+    json.dump(stats, sys.stdout)
+    print()
+    ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="vat_abcd_crawler_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -118,6 +131,16 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--out", required=True)
     t.add_argument("--num-cpus", type=int, default=None)
     t.set_defaults(fn=cmd_tables)
+
+    g = sub.add_parser(
+        "gpkg",
+        help="units → GeoPackage POINT layer (W8, csv-to-gpkg.sh analog)",
+    )
+    g.add_argument("--run-dir", required=True)
+    g.add_argument("--out", required=True)
+    g.add_argument("--layer", default="out")
+    g.add_argument("--num-cpus", type=int, default=None)
+    g.set_defaults(fn=cmd_gpkg)
 
     args = p.parse_args(argv)
     return args.fn(args)
