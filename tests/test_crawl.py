@@ -275,3 +275,35 @@ def test_resume_replays_partial_round_without_duplicates(corpus, tmp_path):
     # the junk partial file is gone
     log = _fetch_log(d)
     assert not log["url"].str.startswith("junk").any()
+
+
+def test_robots_denied_vectorized_matches_rowwise():
+    """`_robots_denied` (grouped-by-distinct-prefix vectorization) must
+    equal the row-wise definition `bool(p) and path.startswith(p)` on
+    randomized frontiers, including query-only URLs and empty frames."""
+    from vat_abcd_crawler_ray.pipelines.crawl import _robots_denied
+
+    rng = np.random.default_rng(7)
+    hosts = [f"h{i}.example" for i in range(12)]
+    robots = {"h0.example": "/x", "h1.example": "/", "h2.example": "?",
+              "h3.example": "/deep/pre"}
+    rows = []
+    for _ in range(500):
+        h = hosts[rng.integers(len(hosts))]
+        kind = rng.integers(4)
+        path = ["/x/1", "/deep/pre/2", "?q=1", "/ok"][kind]
+        rows.append((h, f"https://{h}{path}"))
+    df = pd.DataFrame(rows, columns=["host", "canonical_url"])
+
+    got = _robots_denied(df, robots)
+    prefix = df["host"].map(robots).fillna("")
+    paths = df["canonical_url"].str.replace(
+        r"^[a-z][a-z0-9+.-]*://[^/]*", "", regex=True
+    )
+    exp = np.array(
+        [bool(p) and s.startswith(p) for p, s in zip(prefix, paths)], dtype=bool
+    )
+    assert (got == exp).all()
+    assert exp.sum() > 0 and (~exp).sum() > 0  # both classes exercised
+    assert not _robots_denied(df, {}).any()
+    assert len(_robots_denied(df.iloc[:0], robots)) == 0

@@ -121,6 +121,31 @@ def _read_parquet_dir(d: str, columns: list[str] | None = None) -> pd.DataFrame:
     return pa.concat_tables(parts, promote_options="default").to_pandas()
 
 
+def _robots_denied(df: pd.DataFrame, robots: dict) -> np.ndarray:
+    """True = denied: the host's disallow prefix is a prefix of the
+    canonical path (robots gate, S1 admission level). Vectorized by
+    DISTINCT prefix — rows without a robots rule (the vast majority)
+    never enter a Python loop, and the loop that remains is over the
+    handful of distinct disallow prefixes, not over rows."""
+    denied = np.zeros(len(df), dtype=bool)
+    if not robots or not len(df):
+        return denied
+    prefix = df["host"].map(robots).fillna("")
+    nz = prefix.to_numpy() != ""
+    if not nz.any():
+        return denied
+    paths = df["canonical_url"].str.replace(
+        r"^[a-z][a-z0-9+.-]*://[^/]*", "", regex=True
+    )
+    sub_paths = paths[nz]
+    sub_pre = prefix[nz]
+    sub_denied = np.zeros(len(sub_paths), dtype=bool)
+    for p, pos in sub_pre.groupby(sub_pre, sort=False).indices.items():
+        sub_denied[pos] = sub_paths.iloc[pos].str.startswith(p).to_numpy()
+    denied[nz] = sub_denied
+    return denied
+
+
 @ray.remote(num_cpus=0.5, num_returns=4)
 def _project_round_blocks(*tables: pa.Table):
     """Round projection over a GROUP of pinned extracted blocks, run
@@ -394,13 +419,7 @@ class CrawlRun:
     def _robots_mask(self, df: pd.DataFrame) -> np.ndarray:
         """True = denied. Prefix match of the canonical path against the
         host's disallow prefix (robots gate; frontier admission level)."""
-        prefix = df["host"].map(self.robots).fillna("")
-        paths = df["canonical_url"].str.replace(
-            r"^[a-z][a-z0-9+.-]*://[^/]*", "", regex=True
-        )
-        return np.array(
-            [bool(p) and s.startswith(p) for p, s in zip(prefix, paths)], dtype=bool
-        )
+        return _robots_denied(df, self.robots)
 
     def _select_driver(self, frontier: pd.DataFrame):
         """Vectorized single-machine selection (identical semantics to
@@ -438,15 +457,7 @@ class CrawlRun:
         def robots_and_salt(batch: pd.DataFrame) -> pd.DataFrame:
             """Drop robots-denied rows, add the skew salt — vectorized,
             one pass, no per-row filter."""
-            prefix = batch["host"].map(robots).fillna("")
-            paths = batch["canonical_url"].str.replace(
-                r"^[a-z][a-z0-9+.-]*://[^/]*", "", regex=True
-            )
-            denied = np.array(
-                [bool(p) and s.startswith(p) for p, s in zip(prefix, paths)],
-                dtype=bool,
-            )
-            batch = batch[~denied]
+            batch = batch[~_robots_denied(batch, robots)]
             return batch.assign(
                 __salt=(batch["key"].to_numpy() % salt_buckets).astype(np.int32)
             )
@@ -617,6 +628,8 @@ class CrawlRun:
         if mode == "auto":
             mode = "distributed" if n_front > 2_000_000 else "driver"
 
+        phase_t: dict[str, float] = {}
+        t0 = _now()
         deferred_path = None
         if mode == "driver":
             frontier = _read_parquet_dir(fdir)
@@ -640,7 +653,11 @@ class CrawlRun:
         link_refs: list = []
         n_links_raw = n_links_kept = 0
         write_futs: list = []
-        phase_t: dict[str, float] = {}
+        # selection (driver parquet read + sort, or the distributed
+        # Dataset path) was untimed through round 2 — it is the largest
+        # per-round serial term at big round sizes, so it gets its own
+        # budget line
+        phase_t["select"] = _now() - t0
         t0 = _now()
         if not winners.empty:
             fetched = self._fetch(winners, rnd)
@@ -672,40 +689,50 @@ class CrawlRun:
                 _project_round_blocks.remote(*blocks[i : i + 8])
                 for i in range(0, len(blocks), 8)
             ]
+            # futs: per task [got_ref, link_ref, n_raw_ref, n_kept_ref].
+            # Pull the (politeness-bounded) url tables and the two
+            # counts; link refs stay in the object store until the
+            # admission mode is resolved. The driver BLOCKS here, so
+            # the projections own the whole cluster — the CPU-heavy
+            # zstd write tasks are submitted only after they resolve.
+            got_tbls = [g for g in ray.get([f[0] for f in futs]) if g.num_rows]
+            link_refs = [f[1] for f in futs]
+            n_links_raw = sum(ray.get([f[2] for f in futs]))
+            n_links_kept = sum(ray.get([f[3] for f in futs]))
+            phase_t["project"] = _now() - t0
+            t0 = _now()
             # Writes leave the critical path entirely: grouped write
             # tasks (8 blocks each — a handful of concurrent zstd
             # writers; 64 snappy writers measurably thrashed the ONE
             # shared sandbox disk) run through admission and the next
-            # round's selection; the deferred commit joins them before
-            # the round is durable (uncommitted rounds replay on
-            # resume, so a crash mid-write is safe).
+            # round's selection/extract; the deferred commit joins them
+            # (a full round of slack) before the round is durable
+            # (uncommitted rounds replay on resume, so a crash
+            # mid-write is safe). Submitted AFTER the projection
+            # ray.get: the projections are the round's critical path,
+            # and interleaving long zstd tasks into the same 2·CPU task
+            # slots measurably stretched the project phase.
             os.makedirs(out_dir, exist_ok=True)
             write_futs = [
                 _write_round_blocks.remote(out_dir, wi, *blocks[i : i + 8])
                 for wi, i in enumerate(range(0, len(blocks), 8))
             ]
-            # submit time only — the write itself completes in the
-            # background and is joined (and timed) at the deferred
-            # commit; see "commit_wait" in _flush_pending_commit
             phase_t["write_submit"] = _now() - t0
             t0 = _now()
-            # futs: per task [got_ref, link_ref, n_raw_ref, n_kept_ref].
-            # Pull the (politeness-bounded) url tables and the two
-            # counts; link refs stay in the object store until the
-            # admission mode is resolved.
-            got_tbls = [g for g in ray.get([f[0] for f in futs]) if g.num_rows]
-            link_refs = [f[1] for f in futs]
-            n_links_raw = sum(ray.get([f[2] for f in futs]))
-            n_links_kept = sum(ray.get([f[3] for f in futs]))
-            got = (
-                set(pa.concat_tables(got_tbls)["url"].to_pylist())
-                if got_tbls
-                else set()
-            )
-            phase_t["project"] = _now() - t0
-            t0 = _now()
 
-            miss = winners[~winners["canonical_url"].isin(got)]
+            # miss = winners whose url produced no dataset/error record.
+            # Arrow is_in over the fetched-url table — the old Python
+            # ``set(to_pylist())`` + pandas .isin built ~rounds×10^5
+            # PyObjects on the driver's serial path
+            if got_tbls:
+                hit = pc.is_in(
+                    pa.array(winners["canonical_url"], pa.string()),
+                    value_set=pa.concat_tables(got_tbls)["url"].combine_chunks(),
+                )
+                miss_mask = pc.invert(hit).to_numpy(zero_copy_only=False)
+            else:
+                miss_mask = np.ones(len(winners), dtype=bool)
+            miss = winners[miss_mask]
             n_miss = len(miss)
             n_fetched = len(winners) - n_miss
             if n_miss:
