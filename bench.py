@@ -216,6 +216,7 @@ def _bench_crawl_big(sf_dir: str, num_cpus: int) -> dict:
     settings = Settings()
     settings.crawl.max_rounds = 12
     load_start = round(os.getloadavg()[0], 1)
+    st0, tot0 = _steal_ticks()
     t0 = time.perf_counter()
     run = CrawlRun(
         pages_path,
@@ -226,6 +227,7 @@ def _bench_crawl_big(sf_dir: str, num_cpus: int) -> dict:
     )
     metrics = run.run()
     dt = time.perf_counter() - t0
+    st1, tot1 = _steal_ticks()
     ray.shutdown()
     return {
         "metric": "crawl_big_sec",
@@ -237,7 +239,16 @@ def _bench_crawl_big(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "phase_sec": run.phase_times,
         "loadavg_start": load_start,
+        "cpu_steal_pct": round(100.0 * (st1 - st0) / max(1, tot1 - tot0), 1),
     }
+
+
+def _steal_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — cumulative since boot."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    vals = [int(x) for x in parts[1:9]]  # user..steal
+    return vals[7], sum(vals)
 
 
 def run_once() -> dict:
@@ -245,9 +256,15 @@ def run_once() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     # background load when the run STARTED — this sandbox host carries
     # heavy intermittent external load (2× swings on identical code);
-    # recording it makes every JSON self-describing about its noise
+    # recording it makes every JSON self-describing about its noise.
+    # loadavg alone is NOT enough: the hypervisor intermittently steals
+    # 30-40% of cycles (`%st` in top) with loadavg near zero — identical
+    # code measured 15× slower inside one such burst — so the steal
+    # fraction OVER the run is recorded too.
     load_start = round(os.getloadavg()[0], 1)
+    st0, tot0 = _steal_ticks()
     timings, derived = _bench_queries(sf_dir, num_cpus)
+    st1, tot1 = _steal_ticks()
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     return {
         "metric": "e2e_bench_sec",
@@ -258,6 +275,7 @@ def run_once() -> dict:
         "num_cpus": num_cpus,
         "derived": derived,
         "loadavg_start": load_start,
+        "cpu_steal_pct": round(100.0 * (st1 - st0) / max(1, tot1 - tot0), 1),
     }
 
 
@@ -402,6 +420,14 @@ def run_scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> dict:
         },
         "loadavg_big_runs": {
             str(n): [r.get("loadavg_start") for r in big[n]] for n in (lo, hi)
+        },
+        # hypervisor CPU-steal % over each rep — the dominant noise
+        # source on this host (bursts of 30-40% steal at loadavg ~0)
+        "steal_runs": {
+            str(n): [r.get("cpu_steal_pct") for r in runs[n]] for n in (lo, hi)
+        },
+        "steal_big_runs": {
+            str(n): [r.get("cpu_steal_pct") for r in big[n]] for n in (lo, hi)
         },
         "sf": runs[hi][0]["sf"],
         "num_cpus": hi,
