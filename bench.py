@@ -161,7 +161,10 @@ def _bench_queries(sf_dir: str, num_cpus: int) -> tuple[dict, dict]:
 
     # -- knn brute force over embeddings
     t0 = time.perf_counter()
-    emb = ray.data.read_parquet(os.path.join(tables, "embeddings.parquet"))
+    emb = ray.data.read_parquet(
+        os.path.join(tables, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],  # prune `label` at the read
+    )
     qdf = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qdf = qdf[qdf["vec_id"] < 50]
     queries = pd.DataFrame(

@@ -889,13 +889,15 @@ class CrawlRun:
         has_next = has_next or links_written  # distributed admission wrote
 
         phase_t["admission"] = _now() - t0
-        t0 = _now()
         # round N's shard snapshots run in the background through all of
         # round N+1 (actor message order makes them a consistent cut);
         # the manifest commit waits for them at the NEXT round's commit
         # point, so the per-round serial path carries neither the
         # snapshot IO nor the commit fsync.
-        self._flush_pending_commit()
+        self._flush_pending_commit()  # its wait is recorded as the
+        # PREVIOUS round's commit_wait (inside the flush) — timing it
+        # here too would double-count it under "snapshot"
+        t0 = _now()
         snap_mode = "full" if rnd % cc.snapshot_full_every == 0 else "delta"
         snap_futs = (
             self.seen.snapshot_async(self.seen_dir(rnd), snap_mode) + write_futs
@@ -1052,6 +1054,11 @@ class CrawlRun:
 
     # ---------------- top-level ----------------
     def run(self, resume: bool = False) -> CrawlMetrics:
+        # "setup" and "final" phase records bracket the per-round ones
+        # so wall ≈ Σ phases (the per-round table alone left page-store
+        # decode, seed bootstrap and the final commit untracked — ~30%
+        # of a 3-round sandbox run's wall)
+        t_setup = _now()
         if self.fetch_mode == "store" and self._page_store is None:
             # kick off shard decode now — it overlaps seed bootstrap
             # (PageStore construction no longer blocks on shard init)
@@ -1082,11 +1089,16 @@ class CrawlRun:
             start_round = last + 1
         else:
             self._bootstrap()
+        self.phase_times.append(
+            {"round": "setup", "bootstrap": round(_now() - t_setup, 3)}
+        )
 
         for rnd in range(start_round, self.settings.crawl.max_rounds):
             if not self._round(rnd):
                 break
-        self._flush_pending_commit()
+        self._flush_pending_commit()  # wait lands in the last round's
+        # commit_wait (recorded inside the flush), keeping Σ additive
+        t_final = _now()
 
         self._count_outputs()
         self.manifest.finalize(
@@ -1095,6 +1107,9 @@ class CrawlRun:
                 "frontier": self._p("frontier"),
             },
             metrics=self.metrics.as_dict(),
+        )
+        self.phase_times.append(
+            {"round": "final", "final_commit": round(_now() - t_final, 3)}
         )
         return self.metrics
 
