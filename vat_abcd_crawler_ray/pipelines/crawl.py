@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import sys
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -196,7 +197,7 @@ def _project_round_blocks(*tables: pa.Table):
     return got_t, link_t, n_raw, link_t.num_rows
 
 
-@ray.remote(num_cpus=0.5)
+@ray.remote(num_cpus=1)
 def _write_round_blocks(out_dir: str, task_idx: int, *tables: pa.Table) -> int:
     """Write a group of extracted blocks as hive-partitioned parquet
     (``record_type=X/part-{task_idx}.parquet``, partition column
@@ -204,7 +205,14 @@ def _write_round_blocks(out_dir: str, task_idx: int, *tables: pa.Table) -> int:
     partition_cols=...)`` produces). Submitted as plain tasks so the
     round's write IO runs CONCURRENTLY with link admission and the
     next round's selection; the deferred manifest commit joins the
-    futures before the round becomes durable."""
+    futures before the round becomes durable.
+
+    ``num_cpus=1``, not fractional: zstd compression burns a full
+    core, and declaring 0.5 let the scheduler co-locate 2× writers
+    per slot — invisible oversubscription that stole real cores from
+    the NEXT round's extract/projection tasks they overlap with
+    (measured as multi-second nondeterministic inflation of those
+    phases at 32 CPUs)."""
     t = pa.concat_tables(tables)
     written = 0
     for rt in pc.unique(t["record_type"]).to_pylist():
@@ -774,9 +782,15 @@ class CrawlRun:
             links_written = admitted_rows > 0
             self.seen.commit_round()  # parity: clears (empty) pending state
         elif n_links_kept:
+            _dbg = os.environ.get("VAT_CRAWL_TIMERS")
+            _td = _now()
             links = pa.concat_tables(
                 [l for l in ray.get(link_refs) if l.num_rows]
             )
+            if _dbg:
+                print(f"[adm r{rnd}] get_links {_now()-_td:.2f}s "
+                      f"({links.num_rows} rows)", file=sys.stderr)
+                _td = _now()
             self.metrics.links_discovered += n_links_raw
             seq_a = links["seq"].to_numpy(zero_copy_only=False)
             idx_a = links["link_idx"].to_numpy(zero_copy_only=False)
@@ -785,12 +799,19 @@ class CrawlRun:
             first = ~pd.Series(key_a[order]).duplicated().to_numpy()
             cand_idx = order[first]
             ck = key_a[cand_idx]
+            if _dbg:
+                print(f"[adm r{rnd}] dedup {_now()-_td:.2f}s", file=sys.stderr)
+                _td = _now()
             # a sequential crawler only numbers NOVEL urls — filter
             # against the committed seen set BEFORE consuming seqs, so
             # the seq/surrogate sequence is identical to the
             # single-threaded reference (tests/test_crawl_vs_sequential)
             known = self.seen.lookup(ck) >= 0
             cand_idx, ck = cand_idx[~known], ck[~known]
+            if _dbg:
+                print(f"[adm r{rnd}] seen_lookup {_now()-_td:.2f}s "
+                      f"({len(ck)} novel)", file=sys.stderr)
+                _td = _now()
             child_seq = np.arange(
                 self.next_seq, self.next_seq + len(ck), dtype=np.int64
             )
@@ -800,6 +821,10 @@ class CrawlRun:
             cand_idx, ck, child_seq = cand_idx[fresh], ck[fresh], child_seq[fresh]
             admitted_t = self.seen.commit_round()
             admitted_rows = admitted_t.num_rows
+            if _dbg:
+                print(f"[adm r{rnd}] offer+commit {_now()-_td:.2f}s "
+                      f"({admitted_rows} admitted)", file=sys.stderr)
+                _td = _now()
             if admitted_rows:
                 cand_t = links.select(
                     ["link_url", "canonical_url", "host", "seq"]
@@ -884,7 +909,11 @@ class CrawlRun:
                     moved += 1
             has_next = has_next or moved > 0
         if len(new_frontier):
+            _tf = _now()
             self._write_frontier(new_frontier, rnd + 1, "links")
+            if os.environ.get("VAT_CRAWL_TIMERS"):
+                print(f"[adm r{rnd}] frontier_write {_now()-_tf:.2f}s "
+                      f"({len(new_frontier)} rows)", file=sys.stderr)
             has_next = True
         has_next = has_next or links_written  # distributed admission wrote
 
