@@ -48,10 +48,14 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def _read(sf_dir: str, name: str, columns: list[str] | None = None):
+def _read(sf_dir: str, name: str, columns: list[str] | None = None,
+          override_num_blocks: int | None = None):
     import ray.data
 
-    return ray.data.read_parquet(_t(sf_dir, name), columns=columns)
+    return ray.data.read_parquet(
+        _t(sf_dir, name), columns=columns,
+        override_num_blocks=override_num_blocks,
+    )
 
 
 def _corpus(sf_dir: str) -> str:
@@ -164,10 +168,21 @@ def _q_agg_partial(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    import ray
+    import pyarrow.parquet as _pq
+
+    # a single parquet file reads as ONE task unless split explicitly
+    # (ds.stats showed "ReadParquet: 1 tasks" serializing the whole
+    # 6M-row decode). One task per row group and no more: a row group
+    # is the parquet IO atom, so over-splitting makes tasks decode the
+    # SAME group and slice it (duplicated work, measured slower)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    ngroups = _pq.ParquetFile(_t(sf_dir, "lineitem")).num_row_groups
     li = _read(
         sf_dir,
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+        override_num_blocks=max(1, min(4 * ncpu, ngroups)),
     )
     cut = pa.scalar(datetime.datetime(1998, 9, 1))
 

@@ -164,6 +164,7 @@ def _bench_queries(sf_dir: str, num_cpus: int) -> tuple[dict, dict]:
     emb = ray.data.read_parquet(
         os.path.join(tables, "embeddings.parquet"),
         columns=["vec_id", "embedding"],  # prune `label` at the read
+        override_num_blocks=num_cpus * 2,  # single file = 1 read task otherwise
     )
     qdf = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qdf = qdf[qdf["vec_id"] < 50]
