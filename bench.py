@@ -143,11 +143,19 @@ def _bench_queries(sf_dir: str, num_cpus: int) -> tuple[dict, dict]:
             while fh.read(1 << 24):
                 pass
 
+    def _rg_blocks(path: str, want: int) -> int:
+        """Read-task count capped at the file's row-group count — a row
+        group is the parquet IO atom; requesting more tasks than groups
+        makes tasks decode the same group redundantly."""
+        return max(1, min(want, _pq.ParquetFile(path).num_row_groups))
+
     # -- minhash near-dedup over documents
     t0 = time.perf_counter()
     docs = ray.data.read_parquet(
         os.path.join(tables, "documents.parquet"),
-        override_num_blocks=num_cpus * 2,
+        override_num_blocks=_rg_blocks(
+            os.path.join(tables, "documents.parquet"), num_cpus * 2
+        ),
     )
     minhash_lsh_dedup(docs, threshold=0.8).count()
     timings["dedup_minhash"] = time.perf_counter() - t0
@@ -164,7 +172,10 @@ def _bench_queries(sf_dir: str, num_cpus: int) -> tuple[dict, dict]:
     emb = ray.data.read_parquet(
         os.path.join(tables, "embeddings.parquet"),
         columns=["vec_id", "embedding"],  # prune `label` at the read
-        override_num_blocks=num_cpus * 2,  # single file = 1 read task otherwise
+        # single file = 1 read task otherwise
+        override_num_blocks=_rg_blocks(
+            os.path.join(tables, "embeddings.parquet"), num_cpus * 2
+        ),
     )
     qdf = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qdf = qdf[qdf["vec_id"] < 50]
