@@ -143,19 +143,18 @@ def _bench_queries(sf_dir: str, num_cpus: int) -> tuple[dict, dict]:
             while fh.read(1 << 24):
                 pass
 
-    def _rg_blocks(path: str, want: int) -> int:
-        """Read-task count capped at the file's row-group count — a row
-        group is the parquet IO atom; requesting more tasks than groups
-        makes tasks decode the same group redundantly."""
-        return max(1, min(want, _pq.ParquetFile(path).num_row_groups))
-
     # -- minhash near-dedup over documents
+    # NOT capped at the row-group count: over-splitting re-decodes the
+    # 100 MB docs file ~2× (trivial), but the block count is what the
+    # downstream signing stage parallelizes over — capping it at the
+    # file's 13 row groups left 19 of 32 cores idle through the
+    # compute-dominant stage (measured 46 s vs 12.5 s). The cap is for
+    # reads whose DECODE dominates (lineitem/agg), not compute-heavy
+    # pipelines.
     t0 = time.perf_counter()
     docs = ray.data.read_parquet(
         os.path.join(tables, "documents.parquet"),
-        override_num_blocks=_rg_blocks(
-            os.path.join(tables, "documents.parquet"), num_cpus * 2
-        ),
+        override_num_blocks=num_cpus * 2,
     )
     minhash_lsh_dedup(docs, threshold=0.8).count()
     timings["dedup_minhash"] = time.perf_counter() - t0
@@ -172,10 +171,11 @@ def _bench_queries(sf_dir: str, num_cpus: int) -> tuple[dict, dict]:
     emb = ray.data.read_parquet(
         os.path.join(tables, "embeddings.parquet"),
         columns=["vec_id", "embedding"],  # prune `label` at the read
-        # single file = 1 read task otherwise
-        override_num_blocks=_rg_blocks(
-            os.path.join(tables, "embeddings.parquet"), num_cpus * 2
-        ),
+        # single file = 1 read task otherwise; like the docs read, NOT
+        # capped at the row-group count — the per-batch matmul is the
+        # cost, and 2 blocks/CPU beats fewer decode-exact tasks
+        # (measured 4.0-4.7 s vs 5.1-8.9 s at 25 blocks)
+        override_num_blocks=num_cpus * 2,
     )
     qdf = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qdf = qdf[qdf["vec_id"] < 50]
