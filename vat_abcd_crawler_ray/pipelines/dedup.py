@@ -505,7 +505,14 @@ def minhash_lsh_dedup(
     return_edges: bool = False,
 ):
     """Near-duplicate removal via MinHash + LSH banding; returns the
-    kept rows (min id per duplicate cluster)."""
+    kept rows (min id per duplicate cluster).
+
+    Parallelism contract: the signing stage (the compute-dominant
+    step) runs one task per INPUT BLOCK — a dataset read from a single
+    parquet file without ``override_num_blocks`` arrives as one block
+    and signs on one core. Readers should split to ~2 blocks per CPU
+    (see bench.py); the redundant decode that over-splitting causes is
+    trivial next to the signing compute it parallelizes."""
     assert num_perm % bands == 0
     a, b = _perm_params(num_perm, seed)
 
