@@ -80,6 +80,7 @@ def anti_join_keys(
     big-side shuffle. Above it: bucketed LEFT join against the flagged
     key set, keep rows with no match — one big-side shuffle, driver
     memory independent of the key count."""
+    keys = keys.materialize()  # count + consume = 2 executions if lazy
     n = keys.count()
     if n <= broadcast_limit:
         if n == 0:
@@ -103,6 +104,37 @@ def anti_join_keys(
     return joined.map_batches(keep_misses, batch_format="pyarrow")
 
 
+def semi_join_keys(
+    big: "ray.data.Dataset",
+    keys: "ray.data.Dataset",
+    on: str,
+    broadcast_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Keep rows of ``big`` whose ``on`` value appears in the
+    single-column key Dataset ``keys`` — the keep-side twin of
+    :func:`anti_join_keys`, with the same auto gate.
+
+    Below ``broadcast_limit`` keys: broadcast the key set and stream
+    ``big`` through a vectorized ``is_in`` filter — no big-side
+    shuffle. Above it: bucketed INNER join against the key set — one
+    big-side shuffle, driver memory independent of the key count.
+    ``keys`` values must be UNIQUE (the inner-join path would
+    otherwise duplicate big rows)."""
+    keys = keys.materialize()  # count + consume = 2 executions if lazy
+    n = keys.count()
+    if n <= broadcast_limit:
+        if n == 0:
+            return big.map_batches(
+                lambda t: t.slice(0, 0), batch_format="pyarrow"
+            )
+        vals = keys.to_pandas()[on].to_numpy()
+        return broadcast_semi_join(big, vals, on=on)
+
+    # the key side contributes no value columns, so the inner join's
+    # output schema is exactly big's (key column reordered first)
+    return bucket_hash_join(big, keys.select_columns([on]), on=on, how="inner")
+
+
 def membership_flag_join(
     big: "ray.data.Dataset",
     keys: "ray.data.Dataset",
@@ -120,6 +152,7 @@ def membership_flag_join(
     unbounded listing broadcast lacked)."""
     import pyarrow.compute as pc
 
+    keys = keys.materialize()  # count + consume = 2 executions if lazy
     n = keys.count()
     if n <= broadcast_limit:
         if n == 0:

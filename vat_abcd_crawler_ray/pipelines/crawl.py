@@ -372,6 +372,7 @@ class CrawlRun:
         """
         from ray.data.aggregate import Min
 
+        from ..ops.joins import semi_join_keys
         from ..ops.zip_with_index import zip_with_index
 
         seeds = (
@@ -382,14 +383,26 @@ class CrawlRun:
         if seeds.count() == 0:
             return
         self.next_seq = int(seeds.max("seq")) + 1
-        firsts = seeds.groupby("key").aggregate(Min("seq", alias_name="first_seq"))
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        reps = seeds.join(
-            firsts,
-            join_type="inner",
-            num_partitions=max(2, ncpu),
-            on=("key", "seq"),
-            right_on=("key", "first_seq"),
+        # groupby over ONLY (key, seq) — the min shuffle must not move
+        # the seed url strings
+        firsts = (
+            seeds.select_columns(["key", "seq"])
+            .groupby("key")
+            .aggregate(Min("seq", alias_name="first_seq"))
+        )
+        # winner rows = rows whose seq is its key's min; seqs are
+        # globally UNIQUE, so a semi join on the winning-seq set is
+        # exactly the (key, min_seq) join — routed through the in-repo
+        # auto-gated semi_join_keys (broadcast below the limit, bucketed
+        # hash join above) instead of Dataset.join, whose blocking
+        # actor pool measured 45 s for this step on 160k seeds
+        reps = semi_join_keys(
+            seeds,
+            firsts.map_batches(
+                lambda t: t.select(["first_seq"]).rename_columns(["seq"]),
+                batch_format="pyarrow",
+            ),
+            on="seq",
         )
         frontier = (
             zip_with_index(reps.sort("seq"), "surrogate", start=1)
@@ -998,6 +1011,7 @@ class CrawlRun:
         Returns the number of admitted links."""
         from ray.data.aggregate import Min
 
+        from ..ops.joins import semi_join_keys
         from ..ops.zip_with_index import zip_with_index
 
         cc = self.settings.crawl
@@ -1024,21 +1038,43 @@ class CrawlRun:
                 "ordv", pa.array(seqs * scale + idxs)
             ).append_column("priority", pa.array(prio))
 
+        _dbg = os.environ.get("VAT_CRAWL_TIMERS")
+        _td = _now()
         keyed = (
             ray.data.from_arrow_refs(list(link_refs))
             .map_batches(add_ordv, batch_format="pyarrow")
             .materialize()  # consumed twice: groupby + join probe
         )
-        firsts = keyed.groupby("key").aggregate(Min("ordv", alias_name="first_ordv"))
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        reps = keyed.join(
-            firsts,
-            join_type="inner",
-            num_partitions=max(2, ncpu),
-            on=("key", "ordv"),
-            right_on=("key", "first_ordv"),
+        if _dbg:
+            print(f"[dadm r{rnd}] keyed_mat {_now()-_td:.2f}s", file=sys.stderr)
+            _td = _now()
+        # groupby over ONLY (key, ordv): the min-aggregate's shuffle
+        # must not move the link url/host strings (sorting the full
+        # table measured ~3× the two-column cost)
+        firsts = (
+            keyed.select_columns(["key", "ordv"])
+            .groupby("key")
+            .aggregate(Min("ordv", alias_name="first_ordv"))
         )
-        unseen = self.seen.filter_unseen_dataset(reps.materialize())
+        # first-wins row per key = semi join on the winning-ordv set
+        # (ordv packs (seq, link_idx), globally unique) — same
+        # Dataset.join replacement as the distributed bootstrap
+        reps = semi_join_keys(
+            keyed,
+            firsts.map_batches(
+                lambda t: t.select(["first_ordv"]).rename_columns(["ordv"]),
+                batch_format="pyarrow",
+            ),
+            on="ordv",
+        ).materialize()
+        if _dbg:
+            print(f"[dadm r{rnd}] groupby+semi {_now()-_td:.2f}s", file=sys.stderr)
+            _td = _now()
+        unseen = self.seen.filter_unseen_dataset(reps)
+        if _dbg:
+            unseen = unseen.materialize()
+            print(f"[dadm r{rnd}] unseen_filter {_now()-_td:.2f}s", file=sys.stderr)
+            _td = _now()
         base_seq, base_surr = self.next_seq, self.seen.next_surrogate
 
         def finalize(t: pa.Table) -> pa.Table:
@@ -1060,6 +1096,9 @@ class CrawlRun:
             .map_batches(finalize, batch_format="pyarrow")
             .materialize()
         )
+        if _dbg:
+            print(f"[dadm r{rnd}] sort+zip {_now()-_td:.2f}s", file=sys.stderr)
+            _td = _now()
         n = frontier.count()
         if n:
             os.makedirs(self.frontier_dir(rnd + 1), exist_ok=True)
@@ -1067,6 +1106,9 @@ class CrawlRun:
             self.seen.load_assigned_blocks(frontier)
             self.next_seq = base_seq + n
             self.seen.next_surrogate = base_surr + n
+        if _dbg:
+            print(f"[dadm r{rnd}] write+load {_now()-_td:.2f}s ({n} rows)",
+                  file=sys.stderr)
         return n
 
     def _flush_pending_commit(self) -> None:
