@@ -259,11 +259,16 @@ def _bench_crawl_big(sf_dir: str, num_cpus: int) -> dict:
 
 
 def _steal_ticks() -> tuple[int, int]:
-    """(steal, total) jiffies from /proc/stat — cumulative since boot."""
-    with open("/proc/stat") as fh:
-        parts = fh.readline().split()
-    vals = [int(x) for x in parts[1:9]]  # user..steal
-    return vals[7], sum(vals)
+    """(steal, total) jiffies from /proc/stat — cumulative since boot.
+    Returns (0, 1) where /proc/stat is unavailable (non-Linux hosts)
+    so cpu_steal_pct degrades to 0 instead of crashing the bench."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:9]]  # user..steal
+        return vals[7], sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 1
 
 
 def run_once() -> dict:

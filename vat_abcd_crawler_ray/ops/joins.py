@@ -53,7 +53,14 @@ def broadcast_semi_join(
 ) -> "ray.data.Dataset":
     """Keep rows whose ``on`` value is (not) in ``keys`` — a broadcast
     semi/anti join. ``keys`` may be a list/ndarray/set."""
-    key_ref = ray.put(pa.array(sorted(set(keys))))
+    # np.unique, not sorted(set(...)): this sits on the distributed-
+    # admission hot path with up to broadcast_limit keys — the set
+    # route boxed millions of Python objects on the driver, while
+    # np.unique is vectorized and preserves the sorted/unique layout
+    # pc.is_in benefits from.
+    if isinstance(keys, (set, frozenset)):
+        keys = list(keys)
+    key_ref = ray.put(pa.array(np.unique(np.asarray(keys))))
 
     def _filter(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -118,8 +125,9 @@ def semi_join_keys(
     ``big`` through a vectorized ``is_in`` filter — no big-side
     shuffle. Above it: bucketed INNER join against the key set — one
     big-side shuffle, driver memory independent of the key count.
-    ``keys`` values must be UNIQUE (the inner-join path would
-    otherwise duplicate big rows)."""
+    Duplicate key values are tolerated on both paths (the bucketed
+    path dedupes via a key-only groupby before the inner join, so it
+    can no longer silently duplicate big rows)."""
     keys = keys.materialize()  # count + consume = 2 executions if lazy
     n = keys.count()
     if n <= broadcast_limit:
@@ -130,9 +138,14 @@ def semi_join_keys(
         vals = keys.to_pandas()[on].to_numpy()
         return broadcast_semi_join(big, vals, on=on)
 
+    # enforce key uniqueness with a key-only groupby (the broadcast
+    # path dedupes naturally via is_in; without this the inner join
+    # would duplicate big rows — a contract violation that only
+    # surfaced above the gate, where it is hardest to test)
+    uniq = keys.select_columns([on]).groupby(on).count().select_columns([on])
     # the key side contributes no value columns, so the inner join's
     # output schema is exactly big's (key column reordered first)
-    return bucket_hash_join(big, keys.select_columns([on]), on=on, how="inner")
+    return bucket_hash_join(big, uniq, on=on, how="inner")
 
 
 def membership_flag_join(

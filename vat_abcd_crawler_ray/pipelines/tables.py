@@ -72,19 +72,17 @@ def fk_orphan_units(run_dir: str) -> "ray.data.Dataset":
     parent dataset row. A correct crawl returns ZERO rows — exposed as
     a CORRECTNESS-gated query (``q_crawl_fk_orphans``).
 
-    Plan: the parent-key set is one int64 per dataset (small relative
-    to units), so it broadcasts; units stream through a vectorized
-    anti-filter — no units-side shuffle. Beyond broadcastable key
-    counts, swap in ``bucket_hash_join`` with an anti merge."""
-    from ..ops.joins import broadcast_semi_join
+    Plan: routed through the auto-gated ``anti_join_keys`` — below its
+    key gate the parent-key set (one int64 per dataset) broadcasts and
+    units stream through a vectorized anti-filter (no units-side
+    shuffle); above it a bucketed left join takes over, so driver
+    memory never scales with the dataset count (the former
+    ``unique()`` pulled the full key list to the driver ungated)."""
+    from ..ops.joins import anti_join_keys
 
-    keys = (
-        extracted_dataset(run_dir, "dataset")
-        .select_columns(["surrogate"])
-        .unique("surrogate")
-    )
+    keys = extracted_dataset(run_dir, "dataset").select_columns(["surrogate"])
     units = extracted_dataset(run_dir, "unit")
-    return broadcast_semi_join(units, keys, on="surrogate", anti=True)
+    return anti_join_keys(units, keys, on="surrogate")
 
 
 def translation_table(registry: FieldRegistry | None = None) -> pa.Table:

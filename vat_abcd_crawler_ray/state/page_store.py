@@ -153,39 +153,8 @@ class PageStore:
                                    side="right")
         return self._file_shard[file_idx]
 
-    def fetch_fn(self):
-        """A map_batches body: batch with a ``url`` column (+ any meta
-        columns) → page rows joined with that meta. Runs in tasks; each
-        batch makes ≤ num_shards actor calls."""
-        shards = self.shards
-        starts = self._starts
-        file_shard = self._file_shard
-
-        def fetch(batch: pa.Table) -> pa.Table:
-            urls = batch["url"].to_pylist()
-            file_idx = np.searchsorted(
-                starts, np.array(urls, dtype=object), side="right"
-            )
-            shard_ids = file_shard[file_idx]
-            futs = []
-            for sid in np.unique(shard_ids):
-                sel = np.flatnonzero(shard_ids == sid)
-                futs.append(shards[int(sid)].get.remote([urls[i] for i in sel]))
-            parts = [p for p in ray.get(futs) if p.num_rows]
-            if not parts:
-                schema = pa.schema(
-                    [
-                        ("url", pa.string()),
-                        ("html", pa.binary()),
-                        ("lang", pa.string()),
-                        ("warc_ts", pa.timestamp("us")),
-                    ]
-                )
-                pages = schema.empty_table()
-            else:
-                pages = pa.concat_tables(parts)
-            meta = batch.to_pandas()
-            pdf = pages.to_pandas().merge(meta, on="url", how="inner")
-            return pa.Table.from_pandas(pdf, preserve_index=False)
-
-        return fetch
+    # NOTE: a former ``fetch_fn`` map_batches body lived here — it
+    # called ``ray.get`` on shard actors from INSIDE map tasks (blocked
+    # workers → replacement-process storms) and did a per-batch pandas
+    # merge. The in-actor ``get_with_meta`` path above replaced it;
+    # never reintroduce the in-task ``ray.get`` pattern.
