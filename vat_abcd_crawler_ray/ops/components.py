@@ -7,8 +7,9 @@ min id per cluster. Two equivalent implementations (tested identical):
   right when the VERIFIED edge set is small (near-dup edges are sparse
   relative to the corpus).
 - :func:`components_dataset` — the scale path: labels and edges stay
-  Datasets; each iteration joins neighbor labels (hash join on the
-  node key) and folds with ``groupby(node).min(label)``. Near-dup
+  Datasets; each iteration joins neighbor labels (broadcast lookup
+  below a label-count gate, ``bucket_hash_join`` above it) and folds
+  with ``groupby(node).min(label)``. Near-dup
   clusters are star/clique shaped, so 1-2 iterations in practice;
   from iteration 3 on a POINTER-DOUBLING pass (label ← label of
   label, one extra self-join) kicks in, so chain/path components
@@ -30,6 +31,12 @@ import ray.data
 from ray.data.aggregate import Min
 
 DRIVER_EDGE_LIMIT = 1_000_000
+
+
+@ray.remote(num_cpus=0.25)
+def _coalesce_blocks(*tables: pa.Table) -> pa.Table:
+    ts = [t for t in tables if t.num_rows]
+    return pa.concat_tables(ts) if ts else tables[0]
 
 
 def components_driver(edges: pd.DataFrame, src: str = "src", dst: str = "dst") -> dict:
@@ -76,8 +83,18 @@ def components_dataset(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 64,
+    broadcast_limit: int = 5_000_000,
 ) -> "ray.data.Dataset":
-    """(node, label) per node of ``edges``, label = component min id."""
+    """(node, label) per node of ``edges``, label = component min id.
+
+    The per-iteration neighbor-label join is auto-gated like every
+    other join in this repo: at or below ``broadcast_limit`` labels the
+    label map is broadcast once (``ray.put`` of a sorted key/value
+    array pair) and each block does a vectorized ``searchsorted``
+    lookup — ONE Dataset execution per iteration, no shuffle; above it
+    the join runs through ``ops.joins.bucket_hash_join`` (never Ray's
+    experimental ``Dataset.join``, whose blocking actor pool the crawl
+    spine measured pathological and evicted)."""
 
     def sym(t: pa.Table) -> pa.Table:
         a = pa.concat_arrays(
@@ -90,8 +107,6 @@ def components_dataset(
         )
         return pa.table({"node": a, "nbr": b})
 
-    und = edges.map_batches(sym, batch_format="pyarrow").materialize()
-
     # labels_0(x) = min(x, min neighbor id)
     def with_self(t: pa.Table) -> pa.Table:
         node = t["node"].combine_chunks()
@@ -102,54 +117,131 @@ def components_dataset(
             }
         )
 
-    labels = (
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+
+    def _detach(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        """Materialize, sever the logical plan, and CAP the block
+        count. Two iterative-loop pathologies this kills (both found
+        the hard way):
+
+        - a MaterializedDataset further transformed (union /
+          map_batches) in a loop re-plans its whole retained lineage
+          (~2.5× slower per iteration, exponential over the loop);
+          rebuilding from block refs (``from_arrow_refs``, zero data
+          movement) gives the next iteration a plan of depth 1;
+        - the union triples the label table's block count every
+          iteration, so the groupby's shuffle task grid (maps ×
+          reduces) grows quadratically in blocks and the DRIVER spins
+          serializing thousands of shuffle task args; coalescing to
+          ≤ ~2·CPU blocks keeps the grid constant."""
+        mat = ds.materialize()
+        refs = [
+            r
+            for bundle in mat.iter_internal_ref_bundles()
+            for r in bundle.block_refs
+        ]
+        target = max(2, 2 * ncpu)
+        if len(refs) > target:
+            chunks = np.array_split(np.arange(len(refs)), target)
+            refs = [
+                _coalesce_blocks.remote(*[refs[i] for i in c])
+                for c in chunks
+                if len(c)
+            ]
+        if not refs:
+            return mat
+        return ray.data.from_arrow_refs(refs)
+
+    # und is consumed EVERY iteration — detach it too, or each
+    # iteration re-runs the sym map over the raw edges
+    und = _detach(edges.map_batches(sym, batch_format="pyarrow"))
+
+    labels = _detach(
         und.map_batches(with_self, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Min("lab", alias_name="label"))
-        .materialize()
     )
     prev_sum = labels.sum("label")
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    nbuckets = max(2, ncpu)
     converged = False
+    from .joins import bucket_hash_join
+
     for it in range(max_iters):
-        lab_r = labels.map_batches(
-            lambda t: t.rename_columns(["lnode", "llabel"]), batch_format="pyarrow"
-        )
-        msgs = und.join(
-            lab_r,
-            join_type="inner",
-            num_partitions=max(2, ncpu),
-            on=("nbr",),
-            right_on=("lnode",),
-        ).map_batches(
-            lambda t: pa.table({"node": t["node"], "lab": t["llabel"]}),
-            batch_format="pyarrow",
-        )
         own = labels.map_batches(
             lambda t: pa.table({"node": t["node"], "lab": t["label"]}),
             batch_format="pyarrow",
         )
-        combined = msgs.union(own)
-        if it >= 2:
-            # still not converged after the star/clique-shaped cases
-            # are done ⇒ a high-diameter component exists: add a
-            # pointer-doubling message (label ← label-of-label) so
-            # chains collapse in O(log d) further iterations
-            short = labels.join(
-                lab_r,
-                join_type="inner",
-                num_partitions=max(2, ncpu),
-                on=("label",),
-                right_on=("lnode",),
+        if labels.count() <= broadcast_limit:
+            blks = [
+                b
+                for b in ray.get(
+                    [
+                        r
+                        for bundle in labels.iter_internal_ref_bundles()
+                        for r in bundle.block_refs
+                    ]
+                )
+                if b.num_rows  # empty blocks may carry a void schema
+            ]
+            lab_t = pa.concat_tables(blks)
+            nodes_arr = lab_t["node"].to_numpy(zero_copy_only=False)
+            labs_arr = lab_t["label"].to_numpy(zero_copy_only=False)
+            order = np.argsort(nodes_arr, kind="stable")
+            lab_ref = ray.put((nodes_arr[order], labs_arr[order]))
+
+            def _lookup(col_in: str):
+                def fn(t: pa.Table) -> pa.Table:
+                    nodes_s, labs_s = ray.get(lab_ref)
+                    keys = t[col_in].to_numpy(zero_copy_only=False)
+                    pos = np.searchsorted(nodes_s, keys)
+                    # every nbr IS a labeled node and every label IS a
+                    # node id, so misses are impossible; fail loudly if
+                    # that invariant ever breaks rather than mislabel
+                    if not np.array_equal(nodes_s[pos], keys):
+                        raise RuntimeError("label lookup miss")
+                    return pa.table(
+                        {"node": t["node"], "lab": pa.array(labs_s[pos])}
+                    )
+
+                return fn
+
+            combined = und.map_batches(
+                _lookup("nbr"), batch_format="pyarrow"
+            ).union(own)
+            if it >= 2:
+                # still not converged after the star/clique-shaped
+                # cases are done ⇒ a high-diameter component exists:
+                # add a pointer-doubling message (label ← label of
+                # label) so chains collapse in O(log d) iterations
+                combined = combined.union(
+                    labels.map_batches(_lookup("label"), batch_format="pyarrow")
+                )
+        else:
+            lab_nbr = labels.map_batches(
+                lambda t: t.rename_columns(["nbr", "llabel"]),
+                batch_format="pyarrow",
+            )
+            msgs = bucket_hash_join(
+                und, lab_nbr, on="nbr", num_buckets=nbuckets, how="inner"
             ).map_batches(
                 lambda t: pa.table({"node": t["node"], "lab": t["llabel"]}),
                 batch_format="pyarrow",
             )
-            combined = combined.union(short)
-        labels = (
-            combined.groupby("node")
-            .aggregate(Min("lab", alias_name="label"))
-            .materialize()
+            combined = msgs.union(own)
+            if it >= 2:
+                lab_lab = labels.map_batches(
+                    lambda t: t.rename_columns(["label", "llabel"]),
+                    batch_format="pyarrow",
+                )
+                short = bucket_hash_join(
+                    labels, lab_lab, on="label", num_buckets=nbuckets, how="inner"
+                ).map_batches(
+                    lambda t: pa.table({"node": t["node"], "lab": t["llabel"]}),
+                    batch_format="pyarrow",
+                )
+                combined = combined.union(short)
+        labels = _detach(
+            combined.groupby("node").aggregate(Min("lab", alias_name="label"))
         )
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
