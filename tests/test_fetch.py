@@ -5,6 +5,7 @@ semantics with an injected deterministic opener, and the crawl's
 from __future__ import annotations
 
 import os
+import time
 
 import pandas as pd
 import pyarrow as pa
@@ -76,6 +77,73 @@ class TestHttpFetchStage:
         # transport exception: transient, then success
         assert df.loc["http://reset", "html"] == b"after-reset"
         assert df.loc["http://reset", "fetch_attempts"] == 2
+
+
+class TestWithinBatchConcurrency:
+    """Cross-host thread-pool fan-out with per-host serialization and
+    pacing (the politeness contract inside one task)."""
+
+    def test_cross_host_fetches_overlap(self):
+        import threading
+
+        barrier = threading.Barrier(2, timeout=10)
+
+        def opener(url):
+            # only releases when BOTH hosts' fetches are in flight —
+            # a serial implementation would deadlock until timeout
+            barrier.wait()
+            return 200, b"x"
+
+        stage = HttpFetchStage(opener, max_concurrency=4)
+        df = _run(stage, ["http://a.example.org/1", "http://b.example.org/1"])
+        assert list(df["html"]) == [b"x", b"x"]
+
+    def test_same_host_never_overlaps_and_order_kept(self):
+        import threading
+
+        inflight: dict[str, int] = {}
+        max_inflight: dict[str, int] = {}
+        order: dict[str, list[str]] = {}
+        lock = threading.Lock()
+
+        def opener(url):
+            host = url.split("/")[2]
+            with lock:
+                inflight[host] = inflight.get(host, 0) + 1
+                max_inflight[host] = max(max_inflight.get(host, 0), inflight[host])
+                order.setdefault(host, []).append(url)
+            time.sleep(0.005)
+            with lock:
+                inflight[host] -= 1
+            return 200, url.encode()
+
+        stage = HttpFetchStage(opener, max_concurrency=8)
+        urls = [
+            f"http://{h}.example.org/{i}"
+            for i in range(4)
+            for h in ("a", "b", "c")
+        ]
+        df = _run(stage, urls)
+        # per-host in-flight never exceeded 1, and each host saw its
+        # urls in input order
+        assert max(max_inflight.values()) == 1
+        for host, seen in order.items():
+            assert seen == [u for u in urls if u.split("/")[2] == host]
+        # output row order == input row order despite threaded fetches
+        assert list(df["url"]) == urls
+        assert list(df["html"]) == [u.encode() for u in urls]
+
+    def test_per_host_pacing_delay(self):
+        calls: list[float] = []
+
+        def opener(url):
+            calls.append(time.perf_counter())
+            return 200, b"x"
+
+        stage = HttpFetchStage(opener, per_host_delay_s=0.05)
+        _run(stage, [f"http://a.example.org/{i}" for i in range(3)])
+        gaps = [b - a for a, b in zip(calls, calls[1:])]
+        assert all(g >= 0.045 for g in gaps), gaps
 
 
 @pytest.mark.usefixtures("ray_session")

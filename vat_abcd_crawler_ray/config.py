@@ -39,6 +39,10 @@ class CrawlConfig:
     # fetch_mode="http" opener config (stages/fetch.urllib_opener_factory)
     http_timeout_s: float = 30.0
     http_user_agent: str = "vat-abcd-crawler-ray/0.3"
+    # within-task fetch fan-out across hosts (one host is always
+    # sequential) and the inter-request pacing delay per host
+    http_fetch_concurrency: int = 8
+    http_per_host_delay_s: float = 0.0
     # full seen-set snapshot every K rounds, O(round) deltas between —
     # at 10^10 keys a per-round full rewrite is the IO bottleneck
     snapshot_full_every: int = 8
