@@ -49,6 +49,44 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
 
 
+def _vectorized_topk(
+    qids_sel: np.ndarray,
+    sim: np.ndarray,
+    ids: np.ndarray,
+    k: int,
+    exclude_self: bool = True,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-query top-k of ``sim`` (Q_sel, B) in (-cos, neighbor_id)
+    order, across ALL queries at once: argpartition with a small tie
+    slack + ONE lexsort — the knn_bruteforce partial pattern, shared so
+    the LSH/IVF group functions never loop per query (the old
+    ``for row, qi in enumerate(sel)`` loops were bounded by Q but
+    dominated group time once Q reached 10^3).
+
+    Returns (query_ids, neighbor_ids, cos) aligned arrays; self-matches
+    are masked to -inf and dropped when ``exclude_self``. ``sim`` is
+    mutated in place by the self mask (callers pass a fresh matmul
+    result)."""
+    B = sim.shape[1]
+    if exclude_self:
+        sim[qids_sel[:, None] == ids[None, :]] = -np.inf
+    kk = min(k + 8, B)
+    idx = (
+        np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+        if kk < B
+        else np.broadcast_to(np.arange(B), sim.shape).copy()
+    )
+    cand = np.take_along_axis(sim, idx, axis=1)  # (Q_sel, kk)
+    nb = ids[idx]
+    qrow = np.repeat(np.arange(sim.shape[0]), kk)
+    order = np.lexsort((nb.ravel(), -cand.ravel(), qrow))
+    qs = qrow[order]
+    ns = nb.ravel()[order]
+    cs = cand.ravel()[order]
+    keep = (np.arange(len(qs)) % kk < k) & np.isfinite(cs)
+    return qids_sel[qs[keep]], ns[keep], cs[keep]
+
+
 def knn_bruteforce(
     ds: "ray.data.Dataset",
     queries: pd.DataFrame,
@@ -81,33 +119,17 @@ def knn_bruteforce(
             return empty
         ids = t[id_col].to_numpy(zero_copy_only=False)
         m = _normalize(_matrix_from_arrow(t[vec_col]))
-        sim = qm_ @ m.T  # (Q, B)
-        if exclude_self:
-            sim[qids_[:, None] == ids[None, :]] = -np.inf
-        B = sim.shape[1]
-        # vectorized partial top-k across ALL queries: argpartition by
-        # cosine with a small slack so (-cos, id)-order ties at the kth
-        # boundary survive to the deterministic lexsort below (a full
-        # per-query sort of the batch measured ~50× this)
-        kk = min(k + 8, B)
-        idx = (
-            np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
-            if kk < B
-            else np.broadcast_to(np.arange(B), sim.shape).copy()
+        # vectorized partial top-k across ALL queries (argpartition
+        # with tie slack + one lexsort — a full per-query sort of the
+        # batch measured ~50× this); shared with the LSH/IVF paths
+        qv, nv, cv = _vectorized_topk(
+            qids_, qm_ @ m.T, ids, k, exclude_self=exclude_self
         )
-        cand = np.take_along_axis(sim, idx, axis=1)  # (Q, kk)
-        nb = ids[idx]
-        qrow = np.repeat(np.arange(len(qids_)), kk)
-        order = np.lexsort((nb.ravel(), -cand.ravel(), qrow))
-        qs = qrow[order]
-        ns = nb.ravel()[order]
-        cs = cand.ravel()[order]
-        keep = (np.arange(len(qs)) % kk < k) & np.isfinite(cs)
         return pa.table(
             {
-                query_id_col: pa.array(qids_[qs[keep]]),
-                "neighbor_id": pa.array(ns[keep]),
-                "cos": pa.array(cs[keep]),
+                query_id_col: pa.array(qv),
+                "neighbor_id": pa.array(nv),
+                "cos": pa.array(cv),
             }
         )
 
@@ -237,20 +259,11 @@ def knn_ivf(
             )
         ids = group[id_col].to_numpy()
         m = _normalize(_as_matrix(group[vec_col]))
-        sim = qm_[sel] @ m.T
-        out_q, out_n, out_c = [], [], []
-        for row, qi in enumerate(sel):
-            s, nb = sim[row], ids
-            if exclude_self:
-                keep = nb != qids_[qi]
-                s, nb = s[keep], nb[keep]
-            top = min(k, len(s))
-            order_ = np.lexsort((nb, -s))[:top]
-            out_q.extend([qids_[qi]] * top)
-            out_n.extend(nb[order_])
-            out_c.extend(s[order_])
+        qv, nv, cv = _vectorized_topk(
+            qids_[sel], qm_[sel] @ m.T, ids, k, exclude_self=exclude_self
+        )
         return pd.DataFrame(
-            {query_id_col: out_q, "neighbor_id": out_n, "cos": out_c}
+            {query_id_col: qv, "neighbor_id": nv, "cos": cv}
         )
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
@@ -332,20 +345,11 @@ def knn_lsh(
             )
         ids = group[id_col].to_numpy()
         m = _normalize(_as_matrix(group[vec_col]))
-        sim = qm_[sel] @ m.T
-        out_q, out_n, out_c = [], [], []
-        for row, qi in enumerate(sel):
-            s, nb = sim[row], ids
-            if exclude_self:
-                keep = nb != qids_[qi]
-                s, nb = s[keep], nb[keep]
-            top = min(k, len(s))
-            order = np.lexsort((nb, -s))[:top]
-            out_q.extend([qids_[qi]] * top)
-            out_n.extend(nb[order])
-            out_c.extend(s[order])
+        qv, nv, cv = _vectorized_topk(
+            qids_[sel], qm_[sel] @ m.T, ids, k, exclude_self=exclude_self
+        )
         return pd.DataFrame(
-            {query_id_col: out_q, "neighbor_id": out_n, "cos": out_c}
+            {query_id_col: qv, "neighbor_id": nv, "cos": cv}
         )
 
     return (
