@@ -25,7 +25,13 @@ budget produce identical fetch order, seen-set and surrogates
 Selection has two equivalent implementations (tested identical):
 
 - **driver** — vectorized pandas over the round's frontier; fastest
-  below ~2M rows/round (no shuffle).
+  below ~2M rows/round (no shuffle). Rounds are PIPELINED: the next
+  round's backlog read + per-host ordering runs as a remote
+  pre-selection task during this round's extract/project
+  (``_preselect_backlog`` — exact by the winner-superset lemma), and
+  the admitted links stay in memory, so the per-round serial path
+  sorts only (politeness-bounded candidates ∪ new links) instead of
+  re-reading and re-sorting the whole accumulated frontier.
 - **distributed** — the scale path: per-``(host, salt)`` budget-cap
   inside ``groupby.map_groups`` (salt = ``key % salt_buckets`` splits
   mega-host groups), ONE streaming write partitioned by outcome, then a
@@ -147,8 +153,15 @@ def _robots_denied(df: pd.DataFrame, robots: dict) -> np.ndarray:
     return denied
 
 
+# ordv = parent_seq * SCALE + link_idx packs the (seq, link_idx)
+# discovery order into ONE int64 (link_idx < link_cap_per_page ≤ 2^20
+# by config, validated at CrawlRun construction) — a single sort key
+# for first-wins dedup in both admission modes
+LINK_ORD_SCALE = 1 << 20
+
+
 @ray.remote(num_cpus=0.5, num_returns=4)
-def _project_round_blocks(*tables: pa.Table):
+def _project_round_blocks(prio_lookup, *tables: pa.Table):
     """Round projection over a GROUP of pinned extracted blocks, run
     REMOTELY next to the data: returns (fetched-url table,
     discovered-link table, raw link count, kept link count) as FOUR
@@ -158,7 +171,14 @@ def _project_round_blocks(*tables: pa.Table):
     ``ray.data.from_arrow_refs`` so the link volume never crosses the
     driver. Blocks are grouped several-per-task so the per-round task
     count (and its scheduling latency) stays small.
+
+    The link table carries its admission sort key ``ordv`` and the
+    child ``priority`` (0.5 × parent priority, resolved here from the
+    politeness-bounded winner map ``prio_lookup`` = (sorted parent
+    seqs, parent priorities), shipped once per round via ``ray.put``)
+    — so neither admission mode needs a later pass to attach them.
     """
+    wseqs, wprio = prio_lookup
     gots, links = [], []
     for t in tables:
         got_mask = pc.is_in(
@@ -166,30 +186,37 @@ def _project_round_blocks(*tables: pa.Table):
         )
         gots.append(t.filter(got_mask).select(["url"]))
         lt = t.filter(pc.equal(t["record_type"], "link"))
+        seqs = lt["seq"].to_numpy(zero_copy_only=False)
+        idxs = lt["link_idx"].to_numpy(zero_copy_only=False)
+        ordv = seqs * LINK_ORD_SCALE + idxs
+        if len(wseqs):
+            pos = np.minimum(
+                np.searchsorted(wseqs, seqs), len(wseqs) - 1
+            )
+            prio = np.where(wseqs[pos] == seqs, wprio[pos], 0.0) * 0.5
+        else:
+            prio = np.zeros(len(seqs), dtype=np.float64)
         links.append(
             pa.table(
                 {
                     "link_url": lt["link_url"],
-                    "seq": lt["seq"],
-                    "link_idx": lt["link_idx"],
                     "canonical_url": lt["link_canonical"],
                     "key": lt["link_key"],
                     "host": lt["link_host"],
+                    "ordv": pa.array(ordv),
+                    "priority": pa.array(prio),
                 }
             )
         )
     got_t = pa.concat_tables(gots)
     link_t = pa.concat_tables(links)
     n_raw = link_t.num_rows  # pre-dedup discovery count (the metric)
-    # partial key-dedup REMOTELY (min (seq, link_idx) per key — min of
-    # per-task mins is the global min, so the driver's final dedup sees
-    # only each task's survivors instead of every duplicate discovery)
+    # partial key-dedup REMOTELY (min ordv per key — min of per-task
+    # mins is the global min, so the driver's final dedup sees only
+    # each task's survivors instead of every duplicate discovery)
     if link_t.num_rows:
-        order = np.lexsort(
-            (
-                link_t["link_idx"].to_numpy(zero_copy_only=False),
-                link_t["seq"].to_numpy(zero_copy_only=False),
-            )
+        order = np.argsort(
+            link_t["ordv"].to_numpy(zero_copy_only=False), kind="stable"
         )
         keys = link_t["key"].to_numpy(zero_copy_only=False)[order]
         first = ~pd.Series(keys).duplicated().to_numpy()
@@ -227,6 +254,62 @@ def _write_round_blocks(out_dir: str, task_idx: int, *tables: pa.Table) -> int:
         )
         written += sub.num_rows
     return written
+
+
+@ray.remote(num_cpus=1, num_returns=2)
+def _preselect_backlog(
+    rest_files: list[str],
+    losers: pa.Table,
+    budgets: dict,
+    default_budget: int,
+    out_dir: str,
+):
+    """NEXT-round frontier pre-selection, run remotely DURING the
+    current round's extract/project (the round-pipelining that removes
+    the per-round frontier read + sort from the driver's serial path).
+
+    backlog = on-disk ``rest`` files (prior pre-selections' remainders)
+    ∪ ``losers`` (the current round's selection losers). Split it per
+    host by the same (priority desc, seq) ordering the selection uses:
+
+    - ``cand``  = per-host top-budget — returned to the driver.
+      Exactness lemma: winners(backlog ∪ links) = winners(cand ∪
+      links), because any backlog row OUTSIDE its host's top-budget
+      already has ≥ budget same-host backlog rows ranked ahead of it,
+      so it cannot win the next round whatever links are added.
+      cand is politeness-bounded (≤ Σ per-host budgets), so shipping
+      it to the driver is a config-bounded cost.
+    - ``rest``  = the remainder, written to ``out_dir``.
+
+    Both halves are ALSO written into the next round's frontier dir,
+    so the on-disk frontier stays the complete, authoritative replay /
+    resume source — the pre-selection is a cached computation, never
+    the only copy. Robots rules are NOT re-applied: every backlog row
+    already passed the selection robots gate in the round that
+    deferred it (links are checked before they can become losers), so
+    the backlog is robots-clean by invariant.
+    """
+    parts = [pq.read_table(f, columns=FRONTIER_COLS) for f in rest_files]
+    if losers.num_rows:
+        parts.append(losers.select(FRONTIER_COLS))
+    backlog = pa.concat_tables(parts, promote_options="default").to_pandas()
+    ordered = backlog.sort_values(
+        ["priority", "seq"], ascending=[False, True], kind="mergesort"
+    )
+    rank = ordered.groupby("host", sort=False).cumcount()
+    budget = ordered["host"].map(budgets).fillna(default_budget).astype(np.int64)
+    mask = (rank < budget).to_numpy()
+    cand = ordered[mask]
+    rest = ordered[~mask]
+    os.makedirs(out_dir, exist_ok=True)
+    cand_t = pa.Table.from_pandas(cand[FRONTIER_COLS], preserve_index=False)
+    pq.write_table(cand_t, os.path.join(out_dir, "cand.parquet"))
+    if len(rest):
+        pq.write_table(
+            pa.Table.from_pandas(rest[FRONTIER_COLS], preserve_index=False),
+            os.path.join(out_dir, "rest.parquet"),
+        )
+    return cand_t, len(rest)
 
 
 @dataclass
@@ -285,6 +368,14 @@ class CrawlRun:
         self._stage: ExtractStage | None = None
         self._pending_commit: tuple | None = None
         self.phase_times: list[dict] = []
+        # round-pipelining state: the in-flight backlog pre-selection
+        # ([cand_ref, rest_count_ref], submitted before extract so it
+        # overlaps it), the previous round's admitted links kept in
+        # memory, and the force-full-read flag set when a distributed
+        # stage wrote next-frontier rows the driver never saw
+        self._preselect: list | None = None
+        self._next_links = None  # pa.Table | pd.DataFrame | None
+        self._full_read_next = False
 
     def _extract_stage(self) -> ExtractStage:
         if self._stage is None:
@@ -354,6 +445,11 @@ class CrawlRun:
         sdf = sdf.sort_values("seq", kind="mergesort").drop_duplicates("key")
         frontier = sdf.merge(admitted[["key", "surrogate"]], on="key", how="inner")
         self._write_frontier(frontier[FRONTIER_COLS], 0, "seeds")
+        # hand round 0 its frontier in memory (the disk copy above
+        # stays the replay source) — the round-pipelined selection
+        # then never re-reads the directory the driver just wrote;
+        # robots are checked at selection, as for any link frontier
+        self._next_links = frontier[FRONTIER_COLS]
 
     def _bootstrap_distributed(self) -> None:
         """Streaming round-0 admission, no driver materialization:
@@ -570,8 +666,13 @@ class CrawlRun:
             nblocks = max(1, min(4 * ncpu, len(meta) // 64))
             if nblocks > 1:
                 ds = ds.repartition(nblocks)  # meta rows are tiny
+            cc = self.settings.crawl
             return ds.map_batches(
-                HttpFetchStage(self.http_opener),
+                HttpFetchStage(
+                    self.http_opener,
+                    max_concurrency=cc.http_fetch_concurrency,
+                    per_host_delay_s=cc.http_per_host_delay_s,
+                ),
                 batch_format="pyarrow",
                 batch_size=64,
             )
@@ -635,7 +736,24 @@ class CrawlRun:
     def _round(self, rnd: int) -> bool:
         cc = self.settings.crawl
         fdir = self.frontier_dir(rnd)
-        if not os.path.isdir(fdir):
+        # round-pipelining hand-off from the previous round: the
+        # overlapped backlog pre-selection (its cand/rest files are
+        # durable once the get returns) and the in-memory link frontier
+        pre = self._preselect
+        links_mem = self._next_links
+        full_read = self._full_read_next
+        self._preselect = None
+        self._next_links = None
+        self._full_read_next = False
+        phase_t: dict[str, float] = {}
+        t0 = _now()
+        pre_cand: pa.Table | None = None
+        rest_cnt = 0
+        if pre is not None:
+            pre_cand = ray.get(pre[0])  # usually instant: ran during
+            rest_cnt = int(ray.get(pre[1]))  # the prior round's extract
+        have_mem = (pre is not None or links_mem is not None) and not full_read
+        if not have_mem and not os.path.isdir(fdir):
             return False
 
         # a replayed (crashed, uncommitted) round must not APPEND to its
@@ -644,16 +762,47 @@ class CrawlRun:
         shutil.rmtree(self._p("select", f"round={rnd}"), ignore_errors=True)
         shutil.rmtree(self.frontier_dir(rnd + 1), ignore_errors=True)
 
-        n_front = _count_parquet_rows(fdir)
+        if have_mem:
+            # counts known without touching the frontier dir (the dir
+            # holds exactly cand + rest + links — the same rows)
+            n_front = (
+                (pre_cand.num_rows if pre_cand is not None else 0)
+                + rest_cnt
+                + (len(links_mem) if links_mem is not None else 0)
+            )
+            if n_front == 0:
+                return False
+        else:
+            n_front = _count_parquet_rows(fdir)
         mode = self.select_mode
         if mode == "auto":
             mode = "distributed" if n_front > 2_000_000 else "driver"
 
-        phase_t: dict[str, float] = {}
-        t0 = _now()
         deferred_path = None
+        used_mem = False
         if mode == "driver":
-            frontier = _read_parquet_dir(fdir)
+            if have_mem:
+                parts = []
+                if pre_cand is not None and pre_cand.num_rows:
+                    parts.append(pre_cand.to_pandas())
+                if links_mem is not None and len(links_mem):
+                    ldf = (
+                        links_mem.to_pandas()
+                        if isinstance(links_mem, pa.Table)
+                        else links_mem
+                    )
+                    parts.append(ldf[FRONTIER_COLS])
+                if parts:
+                    frontier = pd.concat(parts, ignore_index=True)
+                    used_mem = True
+                else:
+                    # degenerate: non-empty backlog but empty cand
+                    # (zero-budget hosts) — fall back to the full read
+                    # so the spin-until-max_rounds semantics match the
+                    # non-pipelined path exactly
+                    frontier = _read_parquet_dir(fdir)
+            else:
+                frontier = _read_parquet_dir(fdir)
             if frontier.empty:
                 return False
             winners, deferred, n_denied = self._select_driver(frontier)
@@ -664,6 +813,30 @@ class CrawlRun:
             self.metrics.robots_denied += n_denied
             if winners.empty and not os.path.isdir(deferred_path):
                 return False
+
+        # submit the NEXT round's backlog pre-selection NOW, before
+        # fetch/extract start, so its frontier read + per-host sort
+        # runs concurrently with them (driver mode only — the
+        # distributed path defers via file renames instead)
+        if mode == "driver":
+            rest_files = []
+            if used_mem and pre is not None:
+                rf = os.path.join(fdir, "rest.parquet")
+                if os.path.isfile(rf):
+                    rest_files.append(rf)
+            backlog_rows = len(deferred) + (rest_cnt if used_mem else 0)
+            if backlog_rows:
+                losers_t = pa.Table.from_pandas(
+                    deferred[FRONTIER_COLS], preserve_index=False
+                )
+                self._preselect = _preselect_backlog.remote(
+                    rest_files,
+                    losers_t,
+                    self.budgets,
+                    self.default_budget,
+                    self.frontier_dir(rnd + 1),
+                )
+                deferred = None  # written by the preselect task
 
         out_dir = self.extracted_dir(rnd)
         n_fetched = n_miss = 0
@@ -706,8 +879,18 @@ class CrawlRun:
             for bundle in extracted.iter_internal_ref_bundles():
                 for block_ref in bundle.block_refs:
                     blocks.append(block_ref)
+            # winner (seq → priority) lookup for child-link priorities,
+            # sorted for the projections' searchsorted; put ONCE per
+            # round (top-level ObjectRef args auto-deref in the task)
+            worder = np.argsort(winners["seq"].to_numpy(), kind="stable")
+            prio_ref = ray.put(
+                (
+                    winners["seq"].to_numpy()[worder],
+                    winners["priority"].to_numpy()[worder],
+                )
+            )
             futs = [
-                _project_round_blocks.remote(*blocks[i : i + 8])
+                _project_round_blocks.remote(prio_ref, *blocks[i : i + 8])
                 for i in range(0, len(blocks), 8)
             ]
             # futs: per task [got_ref, link_ref, n_raw_ref, n_kept_ref].
@@ -791,7 +974,7 @@ class CrawlRun:
             amode = "distributed" if n_links_kept > 2_000_000 else "driver"
         if n_links_kept and amode == "distributed":
             self.metrics.links_discovered += n_links_raw
-            admitted_rows = self._admit_distributed(link_refs, winners, rnd)
+            admitted_rows = self._admit_distributed(link_refs, rnd)
             links_written = admitted_rows > 0
             self.seen.commit_round()  # parity: clears (empty) pending state
         elif n_links_kept:
@@ -805,10 +988,11 @@ class CrawlRun:
                       f"({links.num_rows} rows)", file=sys.stderr)
                 _td = _now()
             self.metrics.links_discovered += n_links_raw
-            seq_a = links["seq"].to_numpy(zero_copy_only=False)
-            idx_a = links["link_idx"].to_numpy(zero_copy_only=False)
             key_a = links["key"].to_numpy(zero_copy_only=False)
-            order = np.lexsort((idx_a, seq_a))  # (seq, link_idx) asc
+            # ordv packs (seq, link_idx), globally unique — ONE sort key
+            order = np.argsort(
+                links["ordv"].to_numpy(zero_copy_only=False), kind="stable"
+            )
             first = ~pd.Series(key_a[order]).duplicated().to_numpy()
             cand_idx = order[first]
             ck = key_a[cand_idx]
@@ -839,19 +1023,12 @@ class CrawlRun:
                       f"({admitted_rows} admitted)", file=sys.stderr)
                 _td = _now()
             if admitted_rows:
+                # child priority was resolved inside the projection
+                # tasks (0.5 x parent) — no winner-map pass here
                 cand_t = links.select(
-                    ["link_url", "canonical_url", "host", "seq"]
+                    ["link_url", "canonical_url", "host", "priority"]
                 ).take(pa.array(cand_idx, pa.int64()))
-                prio_by_seq = pd.Series(
-                    winners["priority"].to_numpy(), index=winners["seq"].to_numpy()
-                )
-                prio = (
-                    pd.Series(cand_t["seq"].to_numpy(zero_copy_only=False))
-                    .map(prio_by_seq)
-                    .fillna(0.0)
-                    .to_numpy()
-                    * 0.5
-                )
+                prio = cand_t["priority"]
                 if admitted_rows == len(ck):
                     # the (provably always) common case: every offered
                     # key was admitted, and commit assigns surrogates
@@ -865,7 +1042,7 @@ class CrawlRun:
                             "canonical_url": cand_t["canonical_url"],
                             "key": pa.array(ck),
                             "host": cand_t["host"],
-                            "priority": pa.array(prio),
+                            "priority": prio,
                             "seq": pa.array(child_seq),
                             "surrogate": pa.array(
                                 base_surr
@@ -882,7 +1059,7 @@ class CrawlRun:
                             "key": ck,
                             "host": cand_t["host"].to_pandas(),
                             "child_seq": child_seq,
-                            "priority": prio,
+                            "priority": prio.to_numpy(zero_copy_only=False),
                         }
                     )
                     nf = cand.merge(
@@ -928,7 +1105,20 @@ class CrawlRun:
                 print(f"[adm r{rnd}] frontier_write {_now()-_tf:.2f}s "
                       f"({len(new_frontier)} rows)", file=sys.stderr)
             has_next = True
+            if mode == "driver":
+                # keep the admitted links in memory for the next
+                # round's pipelined selection (the disk copy above
+                # stays the replay/resume source of truth); under
+                # distributed SELECT the deferred rename above put
+                # rows on disk the driver never saw, so memory-mode
+                # selection must not engage next round
+                self._next_links = new_frontier
         has_next = has_next or links_written  # distributed admission wrote
+        if links_written:
+            # distributed admission wrote next-frontier links straight
+            # from Datasets — the next round must read the dir in full
+            self._full_read_next = True
+        has_next = has_next or self._preselect is not None
 
         phase_t["admission"] = _now() - t0
         # round N's shard snapshots run in the background through all of
@@ -944,6 +1134,12 @@ class CrawlRun:
         snap_futs = (
             self.seen.snapshot_async(self.seen_dir(rnd), snap_mode) + write_futs
         )
+        if self._preselect is not None:
+            # this round's commit must not land before the pipelined
+            # pre-selection's cand/rest frontier files are durable —
+            # a committed round implies its successor's frontier dir
+            # is complete (the resume contract)
+            snap_futs = snap_futs + list(self._preselect)
         phase_t["snapshot"] = _now() - t0
         self.metrics.rounds = rnd + 1
         self.metrics.fetched += n_fetched
@@ -981,32 +1177,36 @@ class CrawlRun:
         return has_next
 
     # ---------------- distributed link admission ----------------
-    _LINK_ORD_SCALE = 1 << 20  # ordv = parent_seq * SCALE + link_idx
+    _LINK_ORD_SCALE = LINK_ORD_SCALE  # ordv = parent_seq * SCALE + link_idx
 
-    def _admit_distributed(self, link_refs: list, winners: pd.DataFrame,
-                           rnd: int) -> int:
+    def _admit_distributed(self, link_refs: list, rnd: int) -> int:
         """Scale-path link admission — the distributed mirror of the
-        driver branch, built from the same pieces as the bootstrap:
+        driver branch, built from the same pieces as the bootstrap.
+        The projection tasks already attached ``ordv`` (packed
+        (parent_seq, link_idx) discovery order) and the child
+        ``priority``, so the whole stage is FUSED to three chained
+        Dataset executions (was ~6 — each execution's flat startup
+        cost was a measured per-round tax at sandbox sizes):
 
-        1. the projection tasks' link tables become a Dataset
-           (``from_arrow_refs`` — zero driver traffic);
-        2. ``ordv = parent_seq * 2^20 + link_idx`` encodes the
-           (seq, link_idx) discovery order in ONE int64 (link_idx <
-           ``link_cap_per_page`` ≤ 2^20 by config), and the parent
-           priority comes from a broadcast of the politeness-bounded
-           winner set;
-        3. first-wins per canonical key = ``groupby(key).min(ordv)``
-           joined back on ``(key, ordv)`` (unique — distinct parents
-           have distinct seqs);
-        4. seen anti-filter runs shard-parallel over shared candidate
-           blocks (``filter_unseen_dataset``), exactly the reference's
-           novel-urls-only numbering (``surrogate_key.rs:16-41``);
-        5. ``sort(ordv)`` + ``zip_with_index`` assigns child seqs AND
-           surrogates densely in discovery order — identical to the
-           driver path because admitted surrogates are consecutive in
-           first_seq order within the round;
-        6. the next frontier is Dataset-written; the seen shards ingest
-           the same blocks via ``load_assigned_blocks``.
+        1. seen anti-filter FIRST, as plain shard-parallel tasks over
+           the projection refs (every shard extracts its own unseen
+           rows from each shared block — no Dataset execution at all);
+           filtering before first-wins is equivalent because seen-ness
+           is a per-key property, and it shrinks every later stage to
+           the NOVEL links only (in a steady-state crawl most
+           discoveries are already-seen);
+        2. first-wins per canonical key = ``groupby(key).min(ordv)``
+           over only (key, ordv) (exec 1 — the shuffle must not move
+           the link url/host strings), then a semi join back on the
+           winning-ordv set (ordv is globally unique), whose probe
+           filter fuses into
+        3. ``sort(ordv)`` + ``zip_with_index`` (exec 2) + a finalize
+           projection assigning child seqs AND surrogates densely in
+           discovery order (exec 3, pinned) — identical numbering to
+           the driver path;
+        4. the next frontier is Dataset-written (a read-only pass over
+           the pinned blocks); the seen shards ingest the same blocks
+           via ``load_assigned_blocks``.
 
         Returns the number of admitted links."""
         from ray.data.aggregate import Min
@@ -1014,66 +1214,38 @@ class CrawlRun:
         from ..ops.joins import semi_join_keys
         from ..ops.zip_with_index import zip_with_index
 
-        cc = self.settings.crawl
-        if cc.link_cap_per_page >= self._LINK_ORD_SCALE:
-            raise ValueError("link_cap_per_page must be < 2^20 for ordv encoding")
-        scale = self._LINK_ORD_SCALE
-        prio_ref = ray.put(
-            dict(
-                zip(
-                    winners["seq"].to_numpy().tolist(),
-                    (winners["priority"].to_numpy() * 0.5).tolist(),
-                )
-            )
-        )
-
-        def add_ordv(t: pa.Table) -> pa.Table:
-            seqs = t["seq"].to_numpy(zero_copy_only=False)
-            idxs = t["link_idx"].to_numpy(zero_copy_only=False)
-            pr = ray.get(prio_ref)
-            prio = np.fromiter(
-                (pr.get(int(s), 0.0) for s in seqs), np.float64, len(seqs)
-            )
-            return t.append_column(
-                "ordv", pa.array(seqs * scale + idxs)
-            ).append_column("priority", pa.array(prio))
-
         _dbg = os.environ.get("VAT_CRAWL_TIMERS")
         _td = _now()
-        keyed = (
-            ray.data.from_arrow_refs(list(link_refs))
-            .map_batches(add_ordv, batch_format="pyarrow")
-            .materialize()  # consumed twice: groupby + join probe
-        )
+        novel_refs = [
+            shard.filter_unseen_block.remote(ref, self.seen.num_shards)
+            for ref in link_refs
+            for shard in self.seen.shards
+        ]
+        keyed = ray.data.from_arrow_refs(novel_refs)
         if _dbg:
-            print(f"[dadm r{rnd}] keyed_mat {_now()-_td:.2f}s", file=sys.stderr)
+            keyed = keyed.materialize()
+            print(f"[dadm r{rnd}] unseen_filter {_now()-_td:.2f}s", file=sys.stderr)
             _td = _now()
-        # groupby over ONLY (key, ordv): the min-aggregate's shuffle
-        # must not move the link url/host strings (sorting the full
-        # table measured ~3× the two-column cost)
         firsts = (
             keyed.select_columns(["key", "ordv"])
             .groupby("key")
             .aggregate(Min("ordv", alias_name="first_ordv"))
         )
-        # first-wins row per key = semi join on the winning-ordv set
-        # (ordv packs (seq, link_idx), globally unique) — same
-        # Dataset.join replacement as the distributed bootstrap
-        reps = semi_join_keys(
-            keyed,
+        # first-wins row per key = semi join on the winning-ordv set —
+        # same Dataset.join replacement as the distributed bootstrap;
+        # consuming the refs twice (groupby above, probe here) costs
+        # nothing: the blocks are already materialized task outputs
+        unseen = semi_join_keys(
+            ray.data.from_arrow_refs(novel_refs),
             firsts.map_batches(
                 lambda t: t.select(["first_ordv"]).rename_columns(["ordv"]),
                 batch_format="pyarrow",
             ),
             on="ordv",
-        ).materialize()
-        if _dbg:
-            print(f"[dadm r{rnd}] groupby+semi {_now()-_td:.2f}s", file=sys.stderr)
-            _td = _now()
-        unseen = self.seen.filter_unseen_dataset(reps)
+        )
         if _dbg:
             unseen = unseen.materialize()
-            print(f"[dadm r{rnd}] unseen_filter {_now()-_td:.2f}s", file=sys.stderr)
+            print(f"[dadm r{rnd}] groupby+semi {_now()-_td:.2f}s", file=sys.stderr)
             _td = _now()
         base_seq, base_surr = self.next_seq, self.seen.next_surrogate
 
@@ -1139,7 +1311,12 @@ class CrawlRun:
                 self.pages_path, self.settings.crawl.num_page_shards
             )
         start_round = 0
+        setup_kind = "bootstrap"
         if resume and self.manifest.last_complete_round() >= 0:
+            setup_kind = "restore"  # manifest walk + seen-snapshot
+            # reload — a different cost than seed bootstrap; keep the
+            # phase telemetry BASELINE.md analyzes honest about which
+            # one a run paid
             last = self.manifest.last_complete_round()
             info = self.manifest.round_info(last)
             # seen-set restore chain: walk back to the newest FULL
@@ -1161,7 +1338,7 @@ class CrawlRun:
         else:
             self._bootstrap()
         self.phase_times.append(
-            {"round": "setup", "bootstrap": round(_now() - t_setup, 3)}
+            {"round": "setup", setup_kind: round(_now() - t_setup, 3)}
         )
 
         for rnd in range(start_round, self.settings.crawl.max_rounds):
