@@ -185,6 +185,22 @@ def _bench_queries(sf_dir: str, num_cpus: int) -> tuple[dict, dict]:
     knn_bruteforce(emb, queries, k=10).count()
     timings["knn"] = time.perf_counter() - t0
 
+    # -- LSH knn at Q=2000: the group functions answer ~2k queries per
+    # bucket via the shared vectorized top-k (the old per-query Python
+    # loop dominated group time in exactly this regime)
+    from vat_abcd_crawler_ray.pipelines.similarity import knn_lsh
+
+    edf = pd.read_parquet(
+        os.path.join(tables, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).head(2000)
+    queries_2k = pd.DataFrame(
+        {"query_id": edf["vec_id"], "vector": edf["embedding"].tolist()}
+    )
+    t0 = time.perf_counter()
+    knn_lsh(emb, queries_2k, k=10, n_bits=6).count()
+    timings["knn_lsh_q2k"] = time.perf_counter() - t0
+
     ray.shutdown()
     return timings, derived
 

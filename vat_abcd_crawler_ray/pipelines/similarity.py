@@ -187,9 +187,9 @@ def kmeans_fit(
     for _ in range(iters):
         ref = ray.put(cents)
 
-        def partial(df: pd.DataFrame) -> pd.DataFrame:
+        def partial(t) -> pd.DataFrame:
             c = ray.get(ref)
-            m = _normalize(_as_matrix(df[vec_col]))
+            m = _normalize(_matrix_from_arrow(t[vec_col]))
             assign = np.argmax(m @ c.T, axis=1)
             sums = np.zeros_like(c)
             np.add.at(sums, assign, m)
@@ -202,7 +202,7 @@ def kmeans_fit(
                 }
             )
 
-        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
         sums = np.zeros_like(cents)
         cnts = np.zeros(len(cents), dtype=np.int64)
         for cell, vsum, cnt in zip(parts["cell"], parts["vsum"], parts["cnt"]):
@@ -240,30 +240,40 @@ def knn_ivf(
     q_ref = ray.put((qids, qm, probes))
     cents_ref = ray.put(cents)
 
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(cents_ref)
-        m = _normalize(_as_matrix(df[vec_col]))
-        return df.assign(__cell=np.argmax(m @ c.T, axis=1))
+    import pyarrow as pa
 
-    def per_cell(group: pd.DataFrame) -> pd.DataFrame:
+    _EMPTY = pa.table(
+        {
+            query_id_col: pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64()),
+        }
+    )
+
+    def bucketize(t: "pa.Table") -> "pa.Table":
+        c = ray.get(cents_ref)
+        m = _normalize(_matrix_from_arrow(t[vec_col]))
+        return t.append_column(
+            "__cell", pa.array(np.argmax(m @ c.T, axis=1).astype(np.int64))
+        )
+
+    def per_cell(t: "pa.Table") -> "pa.Table":
         qids_, qm_, probes_ = ray.get(q_ref)
-        cell = group["__cell"].iloc[0]
+        cell = t["__cell"][0].as_py()
         sel = np.flatnonzero((probes_ == cell).any(axis=1))
         if len(sel) == 0:
-            return pd.DataFrame(
-                {
-                    query_id_col: pd.Series(dtype=np.int64),
-                    "neighbor_id": pd.Series(dtype=np.int64),
-                    "cos": pd.Series(dtype=np.float64),
-                }
-            )
-        ids = group[id_col].to_numpy()
-        m = _normalize(_as_matrix(group[vec_col]))
+            return _EMPTY
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_matrix_from_arrow(t[vec_col]))
         qv, nv, cv = _vectorized_topk(
             qids_[sel], qm_[sel] @ m.T, ids, k, exclude_self=exclude_self
         )
-        return pd.DataFrame(
-            {query_id_col: qv, "neighbor_id": nv, "cos": cv}
+        return pa.table(
+            {
+                query_id_col: pa.array(qv),
+                "neighbor_id": pa.array(nv),
+                "cos": pa.array(cv),
+            }
         )
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
@@ -273,9 +283,9 @@ def knn_ivf(
         return g.head(k)
 
     return (
-        ds.map_batches(bucketize, batch_format="pandas")
+        ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("__cell")
-        .map_groups(per_cell, batch_format="pandas")
+        .map_groups(per_cell, batch_format="pyarrow")
         .groupby(query_id_col)
         .map_groups(merge, batch_format="pandas")
     )
@@ -327,33 +337,43 @@ def knn_lsh(
     q_ref = ray.put((qids, qm, q_buckets))
     planes_ref = ray.put(planes)
 
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        m = _normalize(_as_matrix(batch[vec_col]))
-        return batch.assign(__bucket=lsh_bucket_ids(m, ray.get(planes_ref)))
+    import pyarrow as pa
 
-    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    _EMPTY = pa.table(
+        {
+            query_id_col: pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64()),
+        }
+    )
+
+    def bucketize(t: "pa.Table") -> "pa.Table":
+        m = _normalize(_matrix_from_arrow(t[vec_col]))
+        return t.append_column(
+            "__bucket", pa.array(lsh_bucket_ids(m, ray.get(planes_ref)))
+        )
+
+    def per_bucket(t: "pa.Table") -> "pa.Table":
         qids_, qm_, qb_ = ray.get(q_ref)
-        b = group["__bucket"].iloc[0]
+        b = t["__bucket"][0].as_py()
         sel = np.flatnonzero(qb_ == b)
         if len(sel) == 0:
-            return pd.DataFrame(
-                {
-                    query_id_col: pd.Series(dtype=np.int64),
-                    "neighbor_id": pd.Series(dtype=np.int64),
-                    "cos": pd.Series(dtype=np.float64),
-                }
-            )
-        ids = group[id_col].to_numpy()
-        m = _normalize(_as_matrix(group[vec_col]))
+            return _EMPTY
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_matrix_from_arrow(t[vec_col]))
         qv, nv, cv = _vectorized_topk(
             qids_[sel], qm_[sel] @ m.T, ids, k, exclude_self=exclude_self
         )
-        return pd.DataFrame(
-            {query_id_col: qv, "neighbor_id": nv, "cos": cv}
+        return pa.table(
+            {
+                query_id_col: pa.array(qv),
+                "neighbor_id": pa.array(nv),
+                "cos": pa.array(cv),
+            }
         )
 
     return (
-        ds.map_batches(bucketize, batch_format="pandas")
+        ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
