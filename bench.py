@@ -352,9 +352,22 @@ def run_scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> dict:
     guessed."""
     if reps is None:
         reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
+    cooldown_s = float(os.environ.get("BENCH_COOLDOWN_S", "12"))
+
+    def _cooldown():
+        """Flush the previous run's dirty pages and let the machine
+        settle: back-to-back subprocesses measured up to 2× slower
+        than solo runs (crawl 6.3 s solo vs 12.4 s mid-sequence at
+        zero steal) because the prior run's ~GB of staged parquet and
+        object-store spill was still writing back. Measure compute,
+        not the neighbor rep's writeback."""
+        os.sync()
+        time.sleep(cooldown_s)
+
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     for _ in range(reps):
         for ncpu in (lo, hi):
+            _cooldown()
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -386,6 +399,7 @@ def run_scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> dict:
     big: dict[int, list[dict]] = {lo: [], hi: []}
     for _ in range(reps):
         for ncpu in (lo, hi):
+            _cooldown()
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--crawl-big"],
@@ -451,6 +465,7 @@ def run_scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> dict:
             f"phase_sec_{hi}": phase_budget(big_hi),
         },
         "reps": reps,
+        "cooldown_s": cooldown_s,
         "loadavg_runs": {
             str(n): [r.get("loadavg_start") for r in runs[n]] for n in (lo, hi)
         },

