@@ -92,6 +92,22 @@ FRONTIER_COLS = [
     "surrogate",
 ]
 
+# typed empty frontier block — the fused admission/bootstrap finalize
+# emits it for schemaless empty inputs (sort/shuffle ops produce
+# them), so every output block carries the same schema and Ray never
+# logs a block-schema-mismatch warning
+_EMPTY_FRONTIER = pa.table(
+    {
+        "url": pa.array([], pa.string()),
+        "canonical_url": pa.array([], pa.string()),
+        "key": pa.array([], pa.int64()),
+        "host": pa.array([], pa.string()),
+        "priority": pa.array([], pa.float64()),
+        "seq": pa.array([], pa.int64()),
+        "surrogate": pa.array([], pa.int64()),
+    }
+)
+
 
 def keyed_frontier_batch(batch: pa.Table) -> pa.Table:
     """url → (canonical_url, key, host)."""
@@ -452,69 +468,101 @@ class CrawlRun:
         self._next_links = frontier[FRONTIER_COLS]
 
     def _bootstrap_distributed(self) -> None:
-        """Streaming round-0 admission, no driver materialization:
+        """Streaming round-0 admission, no driver materialization of
+        the seed rows — two Dataset executions total (round 3 used
+        five: materialize + max + groupby shuffle + semi probe +
+        sort/zip):
 
-        1. ``groupby(key).min(seq)`` — first-wins per canonical key
-           (ONE key shuffle);
-        2. hash-join the winners back to their full seed rows on
-           ``(key, seq)`` (seqs are unique, so exactly one row/key);
-        3. global ``sort(seq)`` + per-block dense numbering
-           (zip_with_index) — surrogates 1..N in first-seq order,
-           identical to the sequential reference;
+        1. read + canonicalize + key, materialized ONCE (exec 1);
+        2. first-wins per canonical key via
+           :func:`ops.firstwins.winner_vals_gated` over the seed
+           blocks — per-block partial (key, min/max seq) tasks next to
+           the data (``next_seq`` falls out of the partial maxes with
+           no separate Dataset ``max()``), then below the driver gate
+           a small combine whose sorted winning-seq array is broadcast
+           once; seqs are globally unique, so a winner's dense rank in
+           that array IS its position after a global ``sort(seq)``,
+           and surrogate = 1 + rank — identical numbering to the
+           sequential reference (``surrogate_key.rs:16-41``);
+        3. filter + rank + surrogate fuse into one ``map_batches``
+           pass over the seed blocks (exec 2). Above the gate, the
+           round-3 spine (distributed groupby over the PARTIALS →
+           semi join → sort + zip_with_index) takes over;
         4. Dataset ``write_parquet`` into the round-0 frontier dir;
         5. seen-set load: each frontier BLOCK is shipped once to the
            object store and every shard actor filters its own keys
            (``assign_block``) — driver traffic is O(num_blocks) refs.
         """
-        from ray.data.aggregate import Min
-
-        from ..ops.joins import semi_join_keys
-        from ..ops.zip_with_index import zip_with_index
+        from ..ops.firstwins import rank_in, winner_vals_gated
 
         seeds = (
             ray.data.read_parquet(self.seeds_path)
             .map_batches(keyed_frontier_batch, batch_format="pyarrow")
-            .materialize()  # consumed 3×: max, groupby, join probe
+            .materialize()  # consumed twice: partial-min tasks, finalize
         )
-        if seeds.count() == 0:
+        seed_refs = [
+            block_ref
+            for bundle in seeds.iter_internal_ref_bundles()
+            for block_ref in bundle.block_refs
+        ]
+        win, stats, partial_refs = winner_vals_gated(
+            seed_refs, key="key", val="seq"
+        )
+        if stats["raw_rows"] == 0:
             return
-        self.next_seq = int(seeds.max("seq")) + 1
-        # groupby over ONLY (key, seq) — the min shuffle must not move
-        # the seed url strings
-        firsts = (
-            seeds.select_columns(["key", "seq"])
-            .groupby("key")
-            .aggregate(Min("seq", alias_name="first_seq"))
-        )
-        # winner rows = rows whose seq is its key's min; seqs are
-        # globally UNIQUE, so a semi join on the winning-seq set is
-        # exactly the (key, min_seq) join — routed through the in-repo
-        # auto-gated semi_join_keys (broadcast below the limit, bucketed
-        # hash join above) instead of Dataset.join, whose blocking
-        # actor pool measured 45 s for this step on 160k seeds
-        reps = semi_join_keys(
-            seeds,
-            firsts.map_batches(
-                lambda t: t.select(["first_seq"]).rename_columns(["seq"]),
-                batch_format="pyarrow",
-            ),
-            on="seq",
-        )
-        frontier = (
-            zip_with_index(reps.sort("seq"), "surrogate", start=1)
-            .select_columns(FRONTIER_COLS)
-            .materialize()
-        )
+        self.next_seq = stats["vmax"] + 1
+        if win is not None:
+            win_ref = ray.put(win)
+
+            def finalize(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or "seq" not in t.column_names:
+                    return _EMPTY_FRONTIER
+                keep, rank = rank_in(
+                    ray.get(win_ref),
+                    t["seq"].to_numpy(zero_copy_only=False),
+                )
+                t = t.take(pa.array(keep, pa.int64()))
+                return t.append_column(
+                    "surrogate", pa.array(1 + rank)
+                ).select(FRONTIER_COLS)
+
+            frontier = (
+                ray.data.from_arrow_refs(seed_refs)
+                .map_batches(finalize, batch_format="pyarrow", batch_size=None)
+                .materialize()
+            )
+        else:
+            from ray.data.aggregate import Min
+
+            from ..ops.joins import semi_join_keys
+            from ..ops.zip_with_index import zip_with_index
+
+            firsts = (
+                ray.data.from_arrow_refs(partial_refs)
+                .groupby("key")
+                .aggregate(Min("seq", alias_name="first_seq"))
+            )
+            # winner rows = rows whose seq is its key's min; seqs are
+            # globally UNIQUE, so a semi join on the winning-seq set
+            # is exactly the (key, min_seq) join — auto-gated
+            # broadcast↔bucketed, never Dataset.join (whose blocking
+            # actor pool measured 45 s on 160k seeds)
+            reps = semi_join_keys(
+                seeds,
+                firsts.map_batches(
+                    lambda t: t.select(["first_seq"]).rename_columns(["seq"]),
+                    batch_format="pyarrow",
+                ),
+                on="seq",
+            )
+            frontier = (
+                zip_with_index(reps.sort("seq"), "surrogate", start=1)
+                .select_columns(FRONTIER_COLS)
+                .materialize()
+            )
         os.makedirs(self.frontier_dir(0), exist_ok=True)
         frontier.write_parquet(self.frontier_dir(0))
-        futs = []
-        for bundle in frontier.iter_internal_ref_bundles():
-            for block_ref in bundle.block_refs:
-                for shard in self.seen.shards:
-                    futs.append(
-                        shard.assign_block.remote(block_ref, self.seen.num_shards)
-                    )
-        ray.get(futs)
+        self.seen.load_assigned_blocks(frontier)
         self.seen.next_surrogate = 1 + frontier.count()
 
     def _write_frontier(self, frame, rnd: int, tag: str) -> None:
@@ -1184,9 +1232,11 @@ class CrawlRun:
         driver branch, built from the same pieces as the bootstrap.
         The projection tasks already attached ``ordv`` (packed
         (parent_seq, link_idx) discovery order) and the child
-        ``priority``, so the whole stage is FUSED to three chained
-        Dataset executions (was ~6 — each execution's flat startup
-        cost was a measured per-round tax at sandbox sizes):
+        ``priority``, so the whole stage is FUSED to one Dataset
+        execution plus one wave of partial-min tasks (round 3 used
+        three chained executions — groupby shuffle, semi-join probe,
+        sort + zip_with_index — each execution's flat startup cost a
+        measured per-round tax at sandbox sizes):
 
         1. seen anti-filter FIRST, as plain shard-parallel tasks over
            the projection refs (every shard extracts its own unseen
@@ -1195,24 +1245,26 @@ class CrawlRun:
            is a per-key property, and it shrinks every later stage to
            the NOVEL links only (in a steady-state crawl most
            discoveries are already-seen);
-        2. first-wins per canonical key = ``groupby(key).min(ordv)``
-           over only (key, ordv) (exec 1 — the shuffle must not move
-           the link url/host strings), then a semi join back on the
-           winning-ordv set (ordv is globally unique), whose probe
-           filter fuses into
-        3. ``sort(ordv)`` + ``zip_with_index`` (exec 2) + a finalize
-           projection assigning child seqs AND surrogates densely in
-           discovery order (exec 3, pinned) — identical numbering to
-           the driver path;
+        2. first-wins per canonical key via
+           :func:`ops.firstwins.winner_vals_gated`: per-block partial
+           mins next to the data, then — below the driver gate — a
+           small (key, ordv) combine whose SORTED winning-ordv array
+           is broadcast once; ordv is globally unique, so a winner's
+           dense rank in that array IS its position after the old
+           path's global sort, and
+        3. filter + rank + child seq/surrogate assignment fuse into a
+           single ``map_batches`` pass over the novel blocks (the ONE
+           Dataset execution) — identical numbering to the driver
+           path, no shuffle, no sort, no zip_with_index;
         4. the next frontier is Dataset-written (a read-only pass over
            the pinned blocks); the seen shards ingest the same blocks
-           via ``load_assigned_blocks``.
+           via ``load_assigned_blocks``. Above the gate, the round-3
+           spine (distributed groupby → semi join → sort + zip) takes
+           over, fed the PARTIAL refs so even its shuffle moves only
+           per-block-deduped (key, ordv) pairs.
 
         Returns the number of admitted links."""
-        from ray.data.aggregate import Min
-
-        from ..ops.joins import semi_join_keys
-        from ..ops.zip_with_index import zip_with_index
+        from ..ops.firstwins import rank_in, winner_vals_gated
 
         _dbg = os.environ.get("VAT_CRAWL_TIMERS")
         _td = _now()
@@ -1221,35 +1273,97 @@ class CrawlRun:
             for ref in link_refs
             for shard in self.seen.shards
         ]
-        keyed = ray.data.from_arrow_refs(novel_refs)
-        if _dbg:
-            keyed = keyed.materialize()
-            print(f"[dadm r{rnd}] unseen_filter {_now()-_td:.2f}s", file=sys.stderr)
-            _td = _now()
-        firsts = (
-            keyed.select_columns(["key", "ordv"])
-            .groupby("key")
-            .aggregate(Min("ordv", alias_name="first_ordv"))
+        win, stats, partial_refs = winner_vals_gated(
+            novel_refs, key="key", val="ordv"
         )
-        # first-wins row per key = semi join on the winning-ordv set —
-        # same Dataset.join replacement as the distributed bootstrap;
-        # consuming the refs twice (groupby above, probe here) costs
-        # nothing: the blocks are already materialized task outputs
+        if _dbg:
+            print(
+                f"[dadm r{rnd}] unseen+partials {_now()-_td:.2f}s "
+                f"({stats['raw_rows']} novel, {stats['partial_rows']} partial)",
+                file=sys.stderr,
+            )
+            _td = _now()
+        base_seq, base_surr = self.next_seq, self.seen.next_surrogate
+        if win is not None:
+            win_ref = ray.put(win)
+
+            def finalize(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or "ordv" not in t.column_names:
+                    return _EMPTY_FRONTIER
+                keep, rank = rank_in(
+                    ray.get(win_ref),
+                    t["ordv"].to_numpy(zero_copy_only=False),
+                )
+                t = t.take(pa.array(keep, pa.int64()))
+                return pa.table(
+                    {
+                        "url": t["link_url"],
+                        "canonical_url": t["canonical_url"],
+                        "key": t["key"],
+                        "host": t["host"],
+                        "priority": t["priority"],
+                        "seq": pa.array(base_seq + rank),
+                        "surrogate": pa.array(base_surr + rank),
+                    }
+                )
+
+            frontier = (
+                ray.data.from_arrow_refs(novel_refs)
+                .map_batches(finalize, batch_format="pyarrow", batch_size=None)
+                .materialize()
+            )
+        else:
+            frontier = self._first_wins_fallback(
+                novel_refs, partial_refs, "ordv", base_seq, base_surr
+            )
+        if _dbg:
+            print(f"[dadm r{rnd}] finalize {_now()-_td:.2f}s", file=sys.stderr)
+            _td = _now()
+        n = frontier.count()
+        if n:
+            os.makedirs(self.frontier_dir(rnd + 1), exist_ok=True)
+            frontier.write_parquet(self.frontier_dir(rnd + 1))
+            self.seen.load_assigned_blocks(frontier)
+            self.next_seq = base_seq + n
+            self.seen.next_surrogate = base_surr + n
+        if _dbg:
+            print(f"[dadm r{rnd}] write+load {_now()-_td:.2f}s ({n} rows)",
+                  file=sys.stderr)
+        return n
+
+    def _first_wins_fallback(
+        self, novel_refs: list, partial_refs: list, val: str,
+        base_seq: int, base_surr: int,
+    ) -> "ray.data.Dataset":
+        """Above-gate admission first-wins — the round-3 distributed
+        spine (groupby-min → gated semi join on the winning-val set →
+        global sort + zip_with_index → finalize), now fed the PARTIAL
+        (key, val) refs so its shuffle moves per-block-deduped pairs
+        instead of one row per raw discovery. Taken only when the
+        round's unique-key partial volume exceeds the driver gate
+        (10^7+ novel keys per round)."""
+        from ray.data.aggregate import Min
+
+        from ..ops.joins import semi_join_keys
+        from ..ops.zip_with_index import zip_with_index
+
+        firsts = (
+            ray.data.from_arrow_refs(partial_refs)
+            .groupby("key")
+            .aggregate(Min(val, alias_name="first_val"))
+        )
         unseen = semi_join_keys(
             ray.data.from_arrow_refs(novel_refs),
             firsts.map_batches(
-                lambda t: t.select(["first_ordv"]).rename_columns(["ordv"]),
+                lambda t: t.select(["first_val"]).rename_columns([val]),
                 batch_format="pyarrow",
             ),
-            on="ordv",
+            on=val,
         )
-        if _dbg:
-            unseen = unseen.materialize()
-            print(f"[dadm r{rnd}] groupby+semi {_now()-_td:.2f}s", file=sys.stderr)
-            _td = _now()
-        base_seq, base_surr = self.next_seq, self.seen.next_surrogate
 
         def finalize(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "rank" not in t.column_names:
+                return _EMPTY_FRONTIER
             rank = t["rank"].to_numpy(zero_copy_only=False)
             return pa.table(
                 {
@@ -1263,25 +1377,11 @@ class CrawlRun:
                 }
             )
 
-        frontier = (
-            zip_with_index(unseen.sort("ordv"), "rank", start=0)
+        return (
+            zip_with_index(unseen.sort(val), "rank", start=0)
             .map_batches(finalize, batch_format="pyarrow")
             .materialize()
         )
-        if _dbg:
-            print(f"[dadm r{rnd}] sort+zip {_now()-_td:.2f}s", file=sys.stderr)
-            _td = _now()
-        n = frontier.count()
-        if n:
-            os.makedirs(self.frontier_dir(rnd + 1), exist_ok=True)
-            frontier.write_parquet(self.frontier_dir(rnd + 1))
-            self.seen.load_assigned_blocks(frontier)
-            self.next_seq = base_seq + n
-            self.seen.next_surrogate = base_surr + n
-        if _dbg:
-            print(f"[dadm r{rnd}] write+load {_now()-_td:.2f}s ({n} rows)",
-                  file=sys.stderr)
-        return n
 
     def _flush_pending_commit(self) -> None:
         if self._pending_commit is None:
