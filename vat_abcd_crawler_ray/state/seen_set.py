@@ -190,14 +190,18 @@ class SeenSetShard:
             return table  # schemaless empty block: nothing to filter
         keys = table["key"].to_numpy()
         mine = np.flatnonzero((keys % num_shards) == self.shard_id)
+        if len(mine) == 0:
+            return table.take(pa.array(mine, pa.int64()))
+        # cuckoo prefilter (no false negatives, same pattern as
+        # ``offer``): only filter-POSITIVE rows pay the per-key dict
+        # probe — novel-heavy rounds stay fully vectorized
+        maybe = self.filter.contains(keys[mine])
+        unseen_mask = ~maybe
         exact = self.exact
-        unseen = mine[
-            np.fromiter(
-                (int(keys[i]) not in exact for i in mine),
-                dtype=bool,
-                count=len(mine),
-            )
-        ] if len(mine) else mine
+        for j in np.flatnonzero(maybe):
+            if int(keys[mine[j]]) not in exact:  # false positive
+                unseen_mask[j] = True
+        unseen = mine[unseen_mask]
         return table.take(pa.array(unseen, pa.int64()))
 
     def snapshot(self, path: str, mode: str = "full") -> None:
