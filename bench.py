@@ -340,6 +340,55 @@ def _machine_ceiling(lo: int, hi: int) -> float:
     return (measure(hi) / measure(lo)) / (hi / lo)
 
 
+def _stream_copy(dur_s: float) -> float:
+    """Bytes/sec of a streaming copy over a buffer far larger than LLC
+    (64 MiB src + dst), run for ``dur_s`` seconds. Counts read+write
+    traffic."""
+    import numpy as np
+
+    a = np.random.randint(0, 255, size=64 << 20, dtype=np.uint8)
+    b = np.empty_like(a)
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < dur_s:
+        np.copyto(b, a)
+        n += 1
+    return n * a.nbytes * 2 / (time.perf_counter() - t0)
+
+
+def _membw_ceiling(lo: int, hi: int, dur_s: float = 4.0) -> dict:
+    """Aggregate memory-bandwidth scaling of the HOST from lo to hi
+    concurrent streaming processes. On this sandbox the memory
+    controller saturates near ~95 GB/s by ~16 streams (measured curve:
+    1→22, 8→83, 32→96 GB/s), so a purely bandwidth-bound stage CANNOT
+    scale past ~0.29 efficiency from 8→32 whatever the code does. Real
+    clusters add a memory controller with every node — per-node
+    bandwidth is constant as the cluster grows — so this ceiling is a
+    single-host confound the N→4N-node criterion does not have.
+    Reported next to the spin ceiling so memory-bound stages (the
+    extract parse) can be read against the bound that actually binds
+    them."""
+    import multiprocessing as mp
+
+    def measure(nproc: int) -> float:
+        # max-of-3: hypervisor steal bursts collapse individual reps
+        # by 100× (measured 0.3 GB/s mid-burst vs 83 quiet); max is
+        # the same steal-suppression the wall-time mins use
+        best = 0.0
+        for _ in range(3):
+            with mp.Pool(nproc) as p:
+                best = max(best, sum(p.map(_stream_copy, [dur_s] * nproc)))
+            time.sleep(1.0)
+        return best
+
+    g_lo, g_hi = measure(lo) / 1e9, measure(hi) / 1e9
+    return {
+        f"gbps_{lo}": round(g_lo, 1),
+        f"gbps_{hi}": round(g_hi, 1),
+        "efficiency": round((g_hi / g_lo) / (hi / lo), 3),
+    }
+
+
 def run_scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> dict:
     """Same job, two fresh processes per parallelism level, same input.
 
@@ -434,11 +483,16 @@ def run_scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> dict:
     }
     eff = (blo["value"] / bhi["value"]) / speedup
     ceiling = _machine_ceiling(lo, hi)
+    membw = _membw_ceiling(lo, hi)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "machine_ceiling": round(ceiling, 3),
+        # the host's memory-bandwidth scaling lo→hi streams — the bound
+        # that binds bandwidth-dominated stages (see _membw_ceiling)
+        "membw_ceiling": membw["efficiency"],
+        "membw_gbps": {k: v for k, v in membw.items() if k != "efficiency"},
         "value_normalized": round(eff / ceiling, 3),
         "extract_scaling_efficiency": per_query_eff.get("extract"),
         "extract_scaling_normalized": round(

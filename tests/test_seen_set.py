@@ -157,6 +157,35 @@ class TestShardedSeenSet:
         out = ss.filter_unseen_dataset(cand.materialize()).to_pandas()
         assert sorted(out["key"].tolist()) == [15, 25]
 
+    def test_filter_unseen_dataset_randomized(self):
+        """Randomized parity vs a plain Python set, at a key volume
+        where the cuckoo prefilter sees real load (and occasional
+        false positives must fall through to the exact dict)."""
+        import pandas as pd
+
+        rng = np.random.RandomState(1234)
+        seen_keys = np.unique(
+            rng.randint(0, 1 << 40, size=20_000).astype(np.int64)
+        )
+        ss = ShardedSeenSet(num_shards=4, capacity_per_shard=1 << 15)
+        ss.offer_batch(seen_keys, np.arange(len(seen_keys), dtype=np.int64))
+        ss.commit_round()
+        # candidates: half committed keys, half fresh (some duplicated)
+        fresh = np.unique(
+            rng.randint(1 << 40, 1 << 41, size=10_000).astype(np.int64)
+        )
+        cand_keys = np.concatenate(
+            [rng.choice(seen_keys, 8_000), fresh, fresh[:500]]
+        )
+        rng.shuffle(cand_keys)
+        cand = rd.from_pandas(
+            pd.DataFrame({"key": cand_keys, "x": np.arange(len(cand_keys))})
+        ).repartition(5)
+        out = ss.filter_unseen_dataset(cand.materialize()).to_pandas()
+        seen = set(seen_keys.tolist())
+        expect = sorted(int(k) for k in cand_keys if int(k) not in seen)
+        assert sorted(out["key"].tolist()) == expect
+
     def test_delta_snapshot_chain_restore(self, tmp_path):
         """full@r0 + delta@r1 + delta@r2 must restore to exactly the
         state a full snapshot would give — same table, same
