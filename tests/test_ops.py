@@ -211,6 +211,14 @@ class TestOps:
             got = dict(zip(ds["node"], ds["label"]))
             assert got == drv, seed
 
+            # forced above-gate: the bucketed-join Dataset loop must
+            # agree (broadcast_limit=0 disables the driver-array path)
+            ds2 = components_dataset(
+                rd.from_pandas(edges).repartition(2), broadcast_limit=0
+            ).to_pandas()
+            got2 = dict(zip(ds2["node"], ds2["label"]))
+            assert got2 == drv, seed
+
             # independent union-find reference
             parent: dict = {}
 

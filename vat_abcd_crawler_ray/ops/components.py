@@ -6,17 +6,18 @@ min id per cluster. Two equivalent implementations (tested identical):
 - :func:`components_driver` — tight loop over an in-memory edge list;
   right when the VERIFIED edge set is small (near-dup edges are sparse
   relative to the corpus).
-- :func:`components_dataset` — the scale path: labels and edges stay
-  Datasets; each iteration joins neighbor labels (broadcast lookup
-  below a label-count gate, ``bucket_hash_join`` above it) and folds
-  with ``groupby(node).min(label)``. Near-dup
-  clusters are star/clique shaped, so 1-2 iterations in practice;
-  from iteration 3 on a POINTER-DOUBLING pass (label ← label of
-  label, one extra self-join) kicks in, so chain/path components
-  converge in O(log diameter) instead of O(diameter) iterations —
-  the common case pays nothing. Convergence is detected by the
-  monotonically decreasing global label sum — one scalar per
-  iteration, no label-table diff.
+- :func:`components_dataset` — the scale path, gated on NODE count.
+  Below the gate the labels are a dense driver array: each iteration
+  is ONE shuffle-free Dataset execution over the detached undirected
+  edge blocks (broadcast label lookup, per-block-deduped improvement
+  rows only) folded on the driver with ``np.minimum.at`` plus
+  vectorized pointer compression, so chains converge in O(log
+  diameter) outer passes and the final pass moves zero rows. Above
+  the gate labels stay a Dataset: per-iteration neighbor-label
+  ``bucket_hash_join`` + ``groupby(node).min`` with a pointer-doubling
+  self-join from iteration 3, convergence by the monotone global
+  label sum. Near-dup clusters are star/clique shaped, so 1-2
+  iterations in practice either way.
 
 :func:`min_label_components` auto-selects by edge count.
 """
@@ -87,14 +88,29 @@ def components_dataset(
 ) -> "ray.data.Dataset":
     """(node, label) per node of ``edges``, label = component min id.
 
-    The per-iteration neighbor-label join is auto-gated like every
-    other join in this repo: at or below ``broadcast_limit`` labels the
-    label map is broadcast once (``ray.put`` of a sorted key/value
-    array pair) and each block does a vectorized ``searchsorted``
-    lookup — ONE Dataset execution per iteration, no shuffle; above it
-    the join runs through ``ops.joins.bucket_hash_join`` (never Ray's
-    experimental ``Dataset.join``, whose blocking actor pool the crawl
-    spine measured pathological and evicted)."""
+    Auto-gated like every other wide op in this repo, on the NODE
+    count (invariant across iterations — one label row per node):
+
+    - **node count ≤ broadcast_limit** — the labels live as a dense
+      driver array. Each iteration is ONE Dataset execution: an edge
+      pass over the detached undirected blocks that looks neighbor
+      labels up in the broadcast array and emits only per-block-deduped
+      IMPROVEMENTS (node, better_label); the driver folds them with
+      ``np.minimum.at`` and then runs vectorized pointer compression
+      (label ← label[label] to fixpoint) for free, so chains collapse
+      in O(log diameter) OUTER passes with no shuffle anywhere. The
+      iteration traffic shrinks with convergence (zero rows on the
+      final pass).
+    - **above the gate** — labels stay a Dataset and each iteration
+      joins neighbor labels through ``ops.joins.bucket_hash_join``
+      (never Ray's experimental ``Dataset.join``, whose blocking actor
+      pool the crawl spine measured pathological and evicted) and folds
+      with ``groupby(node).min``, with a pointer-doubling self-join
+      from iteration 3 on.
+
+    Both paths start from the same per-block partial mins (node →
+    min(self, neighbors)), so the above-gate init shuffles per-block-
+    deduped partials, not 2|E| raw message rows."""
 
     def sym(t: pa.Table) -> pa.Table:
         a = pa.concat_arrays(
@@ -107,14 +123,17 @@ def components_dataset(
         )
         return pa.table({"node": a, "nbr": b})
 
-    # labels_0(x) = min(x, min neighbor id)
-    def with_self(t: pa.Table) -> pa.Table:
-        node = t["node"].combine_chunks()
+    def _block_min_self(t: pa.Table) -> pa.Table:
+        """Per-block (node, min(self, min nbr)) — deduped within the
+        block, so downstream sees per-block-unique rows only."""
+        node = t["node"].to_numpy(zero_copy_only=False)
+        nbr = t["nbr"].to_numpy(zero_copy_only=False)
+        vals = np.minimum(node, nbr)
+        order = np.argsort(node, kind="stable")
+        ns, vs = node[order], vals[order]
+        starts = np.flatnonzero(np.r_[True, ns[1:] != ns[:-1]])
         return pa.table(
-            {
-                "node": pa.concat_arrays([node, node]),
-                "lab": pa.concat_arrays([t["nbr"].combine_chunks(), node]),
-            }
+            {"node": ns[starts], "lab": np.minimum.reduceat(vs, starts)}
         )
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
@@ -156,10 +175,134 @@ def components_dataset(
     # iteration re-runs the sym map over the raw edges
     und = _detach(edges.map_batches(sym, batch_format="pyarrow"))
 
+    # both paths start from per-block partial mins; their total row
+    # count bounds the node count from above, so it also decides the
+    # gate without a separate distinct-count pass
+    partials = _detach(und.map_batches(_block_min_self, batch_format="pyarrow"))
+    n_partial = partials.count()
+
+    if n_partial <= 3 * broadcast_limit:
+        part_blocks = [
+            b
+            for b in ray.get(
+                [
+                    r
+                    for bundle in partials.iter_internal_ref_bundles()
+                    for r in bundle.block_refs
+                ]
+            )
+            if b.num_rows
+        ]
+        part_t = (
+            pa.concat_tables(part_blocks)
+            if part_blocks
+            else pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "lab": pa.array([], pa.int64())}
+            )
+        )
+        pn = part_t["node"].to_numpy(zero_copy_only=False)
+        pl = part_t["lab"].to_numpy(zero_copy_only=False)
+        nodes_sorted, inv = np.unique(pn, return_inverse=True)
+        if len(nodes_sorted) <= broadcast_limit:
+            labels_arr = np.full(
+                len(nodes_sorted), np.iinfo(np.int64).max, dtype=np.int64
+            )
+            np.minimum.at(labels_arr, inv, pl)
+
+            def _compress(labels_arr: np.ndarray) -> np.ndarray:
+                """Vectorized pointer compression on the driver:
+                label ← min(label, label-of-label) to fixpoint. Label
+                values are node ids, so the indirection is a
+                searchsorted into the node universe."""
+                while True:
+                    pos = np.searchsorted(nodes_sorted, labels_arr)
+                    nl = np.minimum(labels_arr, labels_arr[pos])
+                    if np.array_equal(nl, labels_arr):
+                        return labels_arr
+                    labels_arr = nl
+
+            labels_arr = _compress(labels_arr)
+            converged = False
+            for _ in range(max_iters):
+                lab_ref = ray.put((nodes_sorted, labels_arr))
+
+                def _improve(t: pa.Table) -> pa.Table:
+                    nodes_s, labs_s = ray.get(lab_ref)
+                    node = t["node"].to_numpy(zero_copy_only=False)
+                    nbr = t["nbr"].to_numpy(zero_copy_only=False)
+                    posn = np.searchsorted(nodes_s, node)
+                    posb = np.searchsorted(nodes_s, nbr)
+                    # every node/nbr IS in the universe; fail loudly
+                    # rather than mislabel if that ever breaks
+                    if not np.array_equal(nodes_s[posn], node) or not (
+                        np.array_equal(nodes_s[posb], nbr)
+                    ):
+                        raise RuntimeError("label lookup miss")
+                    cand = labs_s[posb]
+                    m = cand < labs_s[posn]
+                    if not m.any():
+                        return pa.table(
+                            {"node": pa.array([], pa.int64()),
+                             "lab": pa.array([], pa.int64())}
+                        )
+                    nm, cm = node[m], cand[m]
+                    order = np.argsort(nm, kind="stable")
+                    ns, cs = nm[order], cm[order]
+                    starts = np.flatnonzero(np.r_[True, ns[1:] != ns[:-1]])
+                    return pa.table(
+                        {"node": ns[starts],
+                         "lab": np.minimum.reduceat(cs, starts)}
+                    )
+
+                imp = und.map_batches(
+                    _improve, batch_format="pyarrow"
+                ).materialize()
+                imp_blocks = [
+                    b
+                    for b in ray.get(
+                        [
+                            r
+                            for bundle in imp.iter_internal_ref_bundles()
+                            for r in bundle.block_refs
+                        ]
+                    )
+                    if b.num_rows
+                ]
+                if not imp_blocks:
+                    # no edge improves any label ⇒ labels constant
+                    # across every edge ⇒ exact component minima
+                    converged = True
+                    break
+                imp_t = pa.concat_tables(imp_blocks)
+                np.minimum.at(
+                    labels_arr,
+                    np.searchsorted(
+                        nodes_sorted,
+                        imp_t["node"].to_numpy(zero_copy_only=False),
+                    ),
+                    imp_t["lab"].to_numpy(zero_copy_only=False),
+                )
+                labels_arr = _compress(labels_arr)
+            if not converged:
+                import warnings
+
+                warnings.warn(
+                    f"components_dataset: label propagation did not "
+                    f"converge in {max_iters} iterations — returned "
+                    f"labels may split components",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            out = pa.table(
+                {"node": pa.array(nodes_sorted),
+                 "label": pa.array(labels_arr)}
+            )
+            return ray.data.from_arrow(out)
+
+    # ---- above the gate: labels stay a Dataset, bucketed joins
     labels = _detach(
-        und.map_batches(with_self, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("lab", alias_name="label"))
+        partials.groupby("node").aggregate(Min("lab", alias_name="label"))
     )
     prev_sum = labels.sum("label")
     nbuckets = max(2, ncpu)
@@ -171,75 +314,29 @@ def components_dataset(
             lambda t: pa.table({"node": t["node"], "lab": t["label"]}),
             batch_format="pyarrow",
         )
-        if labels.count() <= broadcast_limit:
-            blks = [
-                b
-                for b in ray.get(
-                    [
-                        r
-                        for bundle in labels.iter_internal_ref_bundles()
-                        for r in bundle.block_refs
-                    ]
-                )
-                if b.num_rows  # empty blocks may carry a void schema
-            ]
-            lab_t = pa.concat_tables(blks)
-            nodes_arr = lab_t["node"].to_numpy(zero_copy_only=False)
-            labs_arr = lab_t["label"].to_numpy(zero_copy_only=False)
-            order = np.argsort(nodes_arr, kind="stable")
-            lab_ref = ray.put((nodes_arr[order], labs_arr[order]))
-
-            def _lookup(col_in: str):
-                def fn(t: pa.Table) -> pa.Table:
-                    nodes_s, labs_s = ray.get(lab_ref)
-                    keys = t[col_in].to_numpy(zero_copy_only=False)
-                    pos = np.searchsorted(nodes_s, keys)
-                    # every nbr IS a labeled node and every label IS a
-                    # node id, so misses are impossible; fail loudly if
-                    # that invariant ever breaks rather than mislabel
-                    if not np.array_equal(nodes_s[pos], keys):
-                        raise RuntimeError("label lookup miss")
-                    return pa.table(
-                        {"node": t["node"], "lab": pa.array(labs_s[pos])}
-                    )
-
-                return fn
-
-            combined = und.map_batches(
-                _lookup("nbr"), batch_format="pyarrow"
-            ).union(own)
-            if it >= 2:
-                # still not converged after the star/clique-shaped
-                # cases are done ⇒ a high-diameter component exists:
-                # add a pointer-doubling message (label ← label of
-                # label) so chains collapse in O(log d) iterations
-                combined = combined.union(
-                    labels.map_batches(_lookup("label"), batch_format="pyarrow")
-                )
-        else:
-            lab_nbr = labels.map_batches(
-                lambda t: t.rename_columns(["nbr", "llabel"]),
+        lab_nbr = labels.map_batches(
+            lambda t: t.rename_columns(["nbr", "llabel"]),
+            batch_format="pyarrow",
+        )
+        msgs = bucket_hash_join(
+            und, lab_nbr, on="nbr", num_buckets=nbuckets, how="inner"
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "lab": t["llabel"]}),
+            batch_format="pyarrow",
+        )
+        combined = msgs.union(own)
+        if it >= 2:
+            lab_lab = labels.map_batches(
+                lambda t: t.rename_columns(["label", "llabel"]),
                 batch_format="pyarrow",
             )
-            msgs = bucket_hash_join(
-                und, lab_nbr, on="nbr", num_buckets=nbuckets, how="inner"
+            short = bucket_hash_join(
+                labels, lab_lab, on="label", num_buckets=nbuckets, how="inner"
             ).map_batches(
                 lambda t: pa.table({"node": t["node"], "lab": t["llabel"]}),
                 batch_format="pyarrow",
             )
-            combined = msgs.union(own)
-            if it >= 2:
-                lab_lab = labels.map_batches(
-                    lambda t: t.rename_columns(["label", "llabel"]),
-                    batch_format="pyarrow",
-                )
-                short = bucket_hash_join(
-                    labels, lab_lab, on="label", num_buckets=nbuckets, how="inner"
-                ).map_batches(
-                    lambda t: pa.table({"node": t["node"], "lab": t["llabel"]}),
-                    batch_format="pyarrow",
-                )
-                combined = combined.union(short)
+            combined = combined.union(short)
         labels = _detach(
             combined.groupby("node").aggregate(Min("lab", alias_name="label"))
         )
