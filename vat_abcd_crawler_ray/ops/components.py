@@ -13,11 +13,12 @@ min id per cluster. Two equivalent implementations (tested identical):
   rows only) folded on the driver with ``np.minimum.at`` plus
   vectorized pointer compression, so chains converge in O(log
   diameter) outer passes and the final pass moves zero rows. Above
-  the gate labels stay a Dataset: per-iteration neighbor-label
-  ``bucket_hash_join`` + ``groupby(node).min`` with a pointer-doubling
-  self-join from iteration 3, convergence by the monotone global
-  label sum. Near-dup clusters are star/clique shaped, so 1-2
-  iterations in practice either way.
+  the gate labels stay distributed as stable hash buckets and each
+  iteration is a Pregel-style task-level exchange moving only the
+  CHANGED labels (plus cross-bucket shortcut answers for pointer
+  doubling) — no per-iteration shuffle of the edge side anywhere.
+  Near-dup clusters are star/clique shaped, so 1-2 iterations in
+  practice either way.
 
 :func:`min_label_components` auto-selects by edge count.
 """
@@ -29,7 +30,6 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Min
 
 DRIVER_EDGE_LIMIT = 1_000_000
 
@@ -38,6 +38,171 @@ DRIVER_EDGE_LIMIT = 1_000_000
 def _coalesce_blocks(*tables: pa.Table) -> pa.Table:
     ts = [t for t in tables if t.num_rows]
     return pa.concat_tables(ts) if ts else tables[0]
+
+
+def _bucket_of(v: np.ndarray, nb: int) -> np.ndarray:
+    """Stable multiplicative hash bucket of int64 ids (plain ``% nb``
+    skews on structured id spaces, e.g. all-even surrogate keys)."""
+    h = v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return (h % np.uint64(nb)).astype(np.int64)
+
+
+def _split_table(t: pa.Table, key: np.ndarray, nb: int) -> list[pa.Table]:
+    """Rows of ``t`` partitioned by precomputed bucket ids ``key``."""
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    t2 = t.take(pa.array(order))
+    starts = np.searchsorted(ks, np.arange(nb))
+    ends = np.searchsorted(ks, np.arange(nb), side="right")
+    return [t2.slice(int(s), int(e - s)) for s, e in zip(starts, ends)]
+
+
+def _dedup_min(node: np.ndarray, lab: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(unique nodes, per-node min label) — the message combiner."""
+    if not len(node):
+        return node, lab
+    order = np.argsort(node, kind="stable")
+    ns, ls = node[order], lab[order]
+    starts = np.flatnonzero(np.r_[True, ns[1:] != ns[:-1]])
+    return ns[starts], np.minimum.reduceat(ls, starts)
+
+
+_EMPTY_NL = pa.table(
+    {"node": pa.array([], pa.int64()), "lab": pa.array([], pa.int64())}
+)
+
+
+@ray.remote
+def _split_und_block(t: pa.Table, nb: int) -> list[pa.Table]:
+    """One-time partition of an undirected edge block by hash(nbr)."""
+    return _split_table(t, _bucket_of(t["nbr"].to_numpy(), nb), nb)
+
+
+@ray.remote
+def _split_partial_block(t: pa.Table, nb: int) -> list[pa.Table]:
+    """One-time partition of an initial-partial block by hash(node)."""
+    return _split_table(t, _bucket_of(t["node"].to_numpy(), nb), nb)
+
+
+@ray.remote
+def _msg_gen(und_b: pa.Table, changed_b: pa.Table, nb: int) -> list[pa.Table]:
+    """Edge messages from the CHANGED labels of bucket ``b``:
+    for every und row whose nbr's label just changed, emit
+    (node, new_label_of_nbr), deduped-min per destination shard.
+    und_b holds exactly the rows with hash(nbr) in bucket b, so the
+    changed set it needs is exactly fold task b's output."""
+    if not changed_b.num_rows or not und_b.num_rows:
+        return [_EMPTY_NL] * nb
+    cn = changed_b["node"].to_numpy()
+    cl = changed_b["lab"].to_numpy()
+    order = np.argsort(cn, kind="stable")
+    cn, cl = cn[order], cl[order]
+    nbr = und_b["nbr"].to_numpy()
+    node = und_b["node"].to_numpy()
+    pos = np.clip(np.searchsorted(cn, nbr), 0, len(cn) - 1)
+    hit = cn[pos] == nbr
+    n, c = node[hit], cl[pos[hit]]
+    n, c = _dedup_min(n, c)
+    out = []
+    for part in _split_table(
+        pa.table({"node": pa.array(n), "lab": pa.array(c)}),
+        _bucket_of(n, nb) if len(n) else np.empty(0, np.int64),
+        nb,
+    ):
+        out.append(part if part.num_rows else _EMPTY_NL)
+    return out
+
+
+@ray.remote
+def _fold(label_b: pa.Table, nb: int, *shards: pa.Table) -> tuple:
+    """Fold incoming message shards into this label bucket.
+
+    Flat multi-return for ``num_returns=3+nb``: (new label table,
+    changed table, changed count, *shortcut-query shards). Shortcut
+    shards implement pointer doubling across buckets: every changed
+    node queries its new label's owner bucket for THAT node's label
+    (label-of-label); answers arrive as ordinary min-fold messages
+    NEXT iteration — delayed delivery is safe because labels only
+    decrease."""
+    nodes = label_b["node"].to_numpy()
+    labs = label_b["label"].to_numpy().copy()
+    msg = [s for s in shards if s.num_rows]
+    changed_mask = np.zeros(len(nodes), dtype=bool)
+    if msg:
+        mt = pa.concat_tables(msg)
+        mn = mt["node"].to_numpy(zero_copy_only=False)
+        ml = mt["lab"].to_numpy(zero_copy_only=False)
+        # every message is routed by hash(node) of a universe node, so
+        # a miss here is a bug — fail loudly rather than mislabel
+        pos = np.clip(np.searchsorted(nodes, mn), 0, max(0, len(nodes) - 1))
+        if len(nodes) == 0 or not np.array_equal(nodes[pos], mn):
+            raise RuntimeError("components exchange: misrouted message")
+        np.minimum.at(labs, pos, ml)
+        changed_mask = labs < label_b["label"].to_numpy()
+    new_t = pa.table({"node": pa.array(nodes), "label": pa.array(labs)})
+    ch_nodes = nodes[changed_mask]
+    ch_labs = labs[changed_mask]
+    changed_t = pa.table({"node": pa.array(ch_nodes), "lab": pa.array(ch_labs)})
+    q_shards = [
+        part if part.num_rows else _EMPTY_NL
+        for part in _split_table(
+            changed_t,
+            _bucket_of(ch_labs, nb) if len(ch_labs) else np.empty(0, np.int64),
+            nb,
+        )
+    ]
+    return (new_t, changed_t, int(changed_mask.sum()), *q_shards)
+
+
+@ray.remote
+def _init_bucket(*parts: pa.Table) -> pa.Table:
+    """Initial label bucket: min-fold of the partial shards routed
+    here; node-sorted by construction (the exchange relies on it)."""
+    ps = [p for p in parts if p.num_rows]
+    if not ps:
+        return pa.table(
+            {"node": pa.array([], pa.int64()),
+             "label": pa.array([], pa.int64())}
+        )
+    t = pa.concat_tables(ps)
+    n, l = _dedup_min(
+        t["node"].to_numpy(zero_copy_only=False),
+        t["lab"].to_numpy(zero_copy_only=False),
+    )
+    return pa.table({"node": pa.array(n), "label": pa.array(l)})
+
+
+@ray.remote
+def _as_changed(label_b: pa.Table) -> pa.Table:
+    return pa.table({"node": label_b["node"], "lab": label_b["label"]})
+
+
+@ray.remote
+def _answer_shortcuts(label_b: pa.Table, nb: int, *queries: pa.Table) -> list:
+    """Answer (origin, queried_id) with (origin, label[queried_id]),
+    shipped toward origin's bucket as ordinary min-fold messages."""
+    qs = [s for s in queries if s.num_rows]
+    if not qs:
+        return [_EMPTY_NL] * nb
+    qt = pa.concat_tables(qs)
+    origin = qt["node"].to_numpy(zero_copy_only=False)
+    qid = qt["lab"].to_numpy(zero_copy_only=False)
+    nodes = label_b["node"].to_numpy()
+    labs = label_b["label"].to_numpy()
+    pos = np.clip(np.searchsorted(nodes, qid), 0, max(0, len(nodes) - 1))
+    if len(nodes) == 0 or not np.array_equal(nodes[pos], qid):
+        raise RuntimeError("components exchange: misrouted shortcut")
+    ans_lab = labs[pos]
+    keep = ans_lab < qid  # only answers that can improve anything
+    origin, ans_lab = _dedup_min(origin[keep], ans_lab[keep])
+    return [
+        part if part.num_rows else _EMPTY_NL
+        for part in _split_table(
+            pa.table({"node": pa.array(origin), "lab": pa.array(ans_lab)}),
+            _bucket_of(origin, nb) if len(origin) else np.empty(0, np.int64),
+            nb,
+        )
+    ]
 
 
 def components_driver(edges: pd.DataFrame, src: str = "src", dst: str = "dst") -> dict:
@@ -101,16 +266,17 @@ def components_dataset(
       in O(log diameter) OUTER passes with no shuffle anywhere. The
       iteration traffic shrinks with convergence (zero rows on the
       final pass).
-    - **above the gate** — labels stay a Dataset and each iteration
-      joins neighbor labels through ``ops.joins.bucket_hash_join``
-      (never Ray's experimental ``Dataset.join``, whose blocking actor
-      pool the crawl spine measured pathological and evicted) and folds
-      with ``groupby(node).min``, with a pointer-doubling self-join
-      from iteration 3 on.
+    - **above the gate** — a Pregel-style exchange over plain Ray
+      tasks (never Ray's experimental ``Dataset.join``, whose blocking
+      actor pool the crawl spine measured pathological and evicted):
+      the undirected edges are hash-partitioned by nbr ONCE, labels by
+      node ONCE, and each iteration ships only per-block-deduped
+      messages derived from the labels that CHANGED last iteration,
+      plus shortcut (label-of-label) answers across buckets, so the
+      exchanged volume decays to zero as components converge.
 
     Both paths start from the same per-block partial mins (node →
-    min(self, neighbors)), so the above-gate init shuffles per-block-
-    deduped partials, not 2|E| raw message rows."""
+    min(self, neighbors))."""
 
     def sym(t: pa.Table) -> pa.Table:
         a = pa.concat_arrays(
@@ -300,51 +466,72 @@ def components_dataset(
             )
             return ray.data.from_arrow(out)
 
-    # ---- above the gate: labels stay a Dataset, bucketed joins
-    labels = _detach(
-        partials.groupby("node").aggregate(Min("lab", alias_name="label"))
-    )
-    prev_sum = labels.sum("label")
-    nbuckets = max(2, ncpu)
-    converged = False
-    from .joins import bucket_hash_join
+    # ---- above the gate: a Pregel-style exchange loop over plain Ray
+    # tasks. und is hash-partitioned by nbr ONCE and label buckets are
+    # hash-partitioned by node ONCE; every iteration moves only the
+    # CHANGED labels (edge messages) plus shortcut answers (pointer
+    # doubling across buckets), so the exchanged volume shrinks toward
+    # zero as components converge — no per-iteration Dataset shuffle,
+    # no re-bucketing of the big edge side, no driver data.
+    nb = max(2, 2 * ncpu)
 
-    for it in range(max_iters):
-        own = labels.map_batches(
-            lambda t: pa.table({"node": t["node"], "lab": t["label"]}),
-            batch_format="pyarrow",
-        )
-        lab_nbr = labels.map_batches(
-            lambda t: t.rename_columns(["nbr", "llabel"]),
-            batch_format="pyarrow",
-        )
-        msgs = bucket_hash_join(
-            und, lab_nbr, on="nbr", num_buckets=nbuckets, how="inner"
-        ).map_batches(
-            lambda t: pa.table({"node": t["node"], "lab": t["llabel"]}),
-            batch_format="pyarrow",
-        )
-        combined = msgs.union(own)
-        if it >= 2:
-            lab_lab = labels.map_batches(
-                lambda t: t.rename_columns(["label", "llabel"]),
-                batch_format="pyarrow",
+    def _refs_of(ds: "ray.data.Dataset") -> list:
+        return [
+            r
+            for bundle in ds.iter_internal_ref_bundles()
+            for r in bundle.block_refs
+        ]
+
+    und_shards = [
+        _split_und_block.options(num_returns=nb).remote(ref, nb)
+        for ref in _refs_of(und)
+    ]
+    und_buckets = [
+        _coalesce_blocks.remote(*[s[b] for s in und_shards])
+        for b in range(nb)
+    ]
+    part_shards = [
+        _split_partial_block.options(num_returns=nb).remote(ref, nb)
+        for ref in _refs_of(partials)
+    ]
+    label_refs = [
+        _init_bucket.remote(*[s[b] for s in part_shards]) for b in range(nb)
+    ]
+    changed_refs = [_as_changed.remote(label_refs[b]) for b in range(nb)]
+    pending: list[list] = [[] for _ in range(nb)]  # answer shards per bucket
+    converged = False
+    for _ in range(max_iters):
+        msg_shards = [
+            _msg_gen.options(num_returns=nb).remote(
+                und_buckets[b], changed_refs[b], nb
             )
-            short = bucket_hash_join(
-                labels, lab_lab, on="label", num_buckets=nbuckets, how="inner"
-            ).map_batches(
-                lambda t: pa.table({"node": t["node"], "lab": t["llabel"]}),
-                batch_format="pyarrow",
+            for b in range(nb)
+        ]
+        fold_out = [
+            _fold.options(num_returns=3 + nb).remote(
+                label_refs[d],
+                nb,
+                *([msg_shards[b][d] for b in range(nb)] + pending[d]),
             )
-            combined = combined.union(short)
-        labels = _detach(
-            combined.groupby("node").aggregate(Min("lab", alias_name="label"))
-        )
-        cur_sum = labels.sum("label")
-        if cur_sum == prev_sum:
+            for d in range(nb)
+        ]
+        label_refs = [o[0] for o in fold_out]
+        changed_refs = [o[1] for o in fold_out]
+        counts = ray.get([o[2] for o in fold_out])
+        q_shards = [o[3:] for o in fold_out]  # q_shards[d][a]
+        if sum(counts) == 0:
+            # zero changes ⇒ no queries issued, no answers in flight,
+            # and next iteration's edge messages would be empty: for
+            # every edge the endpoint labels are equal ⇒ exact minima
             converged = True
             break
-        prev_sum = cur_sum
+        ans = [
+            _answer_shortcuts.options(num_returns=nb).remote(
+                label_refs[a], nb, *[q_shards[d][a] for d in range(nb)]
+            )
+            for a in range(nb)
+        ]
+        pending = [[ans[a][d] for a in range(nb)] for d in range(nb)]
     if not converged:
         # a component with propagation diameter > max_iters would exit
         # here with SPLIT labels (silent under-deduplication downstream)
@@ -357,7 +544,7 @@ def components_dataset(
             RuntimeWarning,
             stacklevel=2,
         )
-    return labels
+    return ray.data.from_arrow_refs(label_refs)
 
 
 def min_label_components(
