@@ -211,8 +211,8 @@ class TestOps:
             got = dict(zip(ds["node"], ds["label"]))
             assert got == drv, seed
 
-            # forced above-gate: the bucketed-join Dataset loop must
-            # agree (broadcast_limit=0 disables the driver-array path)
+            # forced above-gate: the exchange loop must agree
+            # (broadcast_limit=0 disables the driver-array path)
             ds2 = components_dataset(
                 rd.from_pandas(edges).repartition(2), broadcast_limit=0
             ).to_pandas()
@@ -238,6 +238,31 @@ class TestOps:
             assert {k: v for k, v in got.items()} == {
                 k: want[k] for k in got
             }, seed
+
+    def test_components_exchange_midsize(self):
+        """Forced exchange loop at multi-shard volume: 6k mixed edges
+        (stars + random + a 500-node chain) across 6 blocks so messages
+        really cross bucket boundaries, vs the union-find driver."""
+        rng = np.random.RandomState(99)
+        src = rng.randint(0, 2000, size=5000)
+        dst = np.where(
+            rng.random(5000) < 0.5,
+            src - (src % 25),
+            rng.randint(0, 2000, size=5000),
+        )
+        chain = np.arange(2000, 2500)
+        edges = pd.DataFrame(
+            {
+                "src": np.concatenate([src, chain[:-1]]),
+                "dst": np.concatenate([dst, chain[1:]]),
+            }
+        )
+        drv = components_driver(edges)
+        ds = components_dataset(
+            rd.from_pandas(edges).repartition(6), broadcast_limit=0
+        ).to_pandas()
+        got = dict(zip(ds["node"], ds["label"]))
+        assert got == drv
 
     def test_topk_per_key(self):
         rows = [
