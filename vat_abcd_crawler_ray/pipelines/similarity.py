@@ -30,23 +30,89 @@ def _as_matrix(col) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
 
 
-def _matrix_from_arrow(arr) -> np.ndarray:
-    """(n, dim) float64 from an Arrow list/fixed_size_list column —
+def _matrix_from_arrow(arr, dtype=np.float64) -> np.ndarray:
+    """(n, dim) matrix from an Arrow list/fixed_size_list column —
     one flat buffer copy, no per-row Python (``_as_matrix`` measured
-    seconds per 100k rows; this is milliseconds)."""
+    seconds per 100k rows; this is milliseconds). With
+    ``dtype=np.float32`` over a ``list<float>`` column the flat buffer
+    is used zero-copy — half the bytes through the memory controller,
+    which is what the scan's throughput is bound by."""
     import pyarrow as pa
 
     a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     if not len(a):
-        return np.zeros((0, 1), np.float64)
-    flat = a.flatten().to_numpy(zero_copy_only=False).astype(
-        np.float64, copy=False
-    )
+        return np.zeros((0, 1), dtype)
+    flat = a.flatten().to_numpy(zero_copy_only=False).astype(dtype, copy=False)
     return flat.reshape(len(a), -1)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+def _block_topk_mixed(
+    qids_sel: np.ndarray,
+    qm64_sel: np.ndarray,
+    qm32_sel: np.ndarray,
+    ids: np.ndarray,
+    vec_arrow,
+    k: int,
+    exclude_self: bool,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Mixed-precision block top-k: the corpus-side scan runs in
+    float32 (zero-copy from the ``list<float>`` buffer, half the
+    memory traffic, double the SIMD width), then ONLY the selected
+    candidates are recomputed in float64 — bit-identical to the old
+    all-float64 path's scores — so the final ranking keeps float64
+    semantics. The float32 prefilter keeps a widened slack window
+    (k+16 per query inside :func:`_vectorized_topk`); a true top-k
+    member is lost only if >16 candidates score within the ~1e-6
+    float32 error of the k-th — far past the exact-tie hazard the old
+    path already had with its k+8 window."""
+    raw32 = _matrix_from_arrow(vec_arrow, np.float32)
+    return _topk_mixed_rows(
+        qids_sel, qm64_sel, qm32_sel, ids, raw32, _normalize(raw32), k,
+        exclude_self,
+    )
+
+
+def _topk_mixed_rows(
+    qids_sel: np.ndarray,
+    qm64_sel: np.ndarray,
+    qm32_sel: np.ndarray,
+    ids: np.ndarray,
+    raw32: np.ndarray,
+    m32: np.ndarray,
+    k: int,
+    exclude_self: bool,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Core of :func:`_block_topk_mixed` over precomputed row slices
+    (the LSH path calls it once per contiguous bucket slice)."""
+    qv, nv, _cv32, qrows, rows = _vectorized_topk(
+        qids_sel,
+        qm32_sel @ m32.T,
+        ids,
+        k,
+        exclude_self=exclude_self,
+        extras=True,
+        slack=16,
+    )
+    if not len(rows):
+        return qv, nv, np.zeros(0, np.float64)
+    # float64 re-rank of the selected pairs only (f32→f64 is exact, so
+    # these are the very values the old all-float64 path produced:
+    # same flat buffer → f64 → normalize → dot)
+    cand64 = _normalize(raw32[rows].astype(np.float64))
+    cs64 = np.einsum("ij,ij->i", qm64_sel[qrows], cand64)
+    # truncate the widened window back to top-k per query under the
+    # FLOAT64 order, so partial volume matches the old path exactly
+    order = np.lexsort((nv, -cs64, qrows))
+    qv, nv, cs64, qrows = qv[order], nv[order], cs64[order], qrows[order]
+    grp_start = np.r_[True, qrows[1:] != qrows[:-1]]
+    idx0 = np.flatnonzero(grp_start)
+    rank = np.arange(len(qrows)) - idx0[np.cumsum(grp_start) - 1]
+    keep = rank < k
+    return qv[keep], nv[keep], cs64[keep]
 
 
 def _vectorized_topk(
@@ -55,7 +121,9 @@ def _vectorized_topk(
     ids: np.ndarray,
     k: int,
     exclude_self: bool = True,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    extras: bool = False,
+    slack: int = 8,
+) -> tuple:
     """Per-query top-k of ``sim`` (Q_sel, B) in (-cos, neighbor_id)
     order, across ALL queries at once: argpartition with a small tie
     slack + ONE lexsort — the knn_bruteforce partial pattern, shared so
@@ -66,11 +134,16 @@ def _vectorized_topk(
     Returns (query_ids, neighbor_ids, cos) aligned arrays; self-matches
     are masked to -inf and dropped when ``exclude_self``. ``sim`` is
     mutated in place by the self mask (callers pass a fresh matmul
-    result)."""
+    result). With ``extras=True`` two more aligned arrays are returned:
+    the query-row index into ``qids_sel`` and the corpus ROW index of
+    each neighbor (for mixed-precision re-ranking); ``slack`` widens
+    the per-query candidate window beyond ``k`` — and with extras the
+    whole k+slack window is returned (the caller re-ranks and
+    truncates), otherwise only the top k survive."""
     B = sim.shape[1]
     if exclude_self:
         sim[qids_sel[:, None] == ids[None, :]] = -np.inf
-    kk = min(k + 8, B)
+    kk = min(k + slack, B)
     idx = (
         np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
         if kk < B
@@ -83,8 +156,18 @@ def _vectorized_topk(
     qs = qrow[order]
     ns = nb.ravel()[order]
     cs = cand.ravel()[order]
-    keep = (np.arange(len(qs)) % kk < k) & np.isfinite(cs)
-    return qids_sel[qs[keep]], ns[keep], cs[keep]
+    keep = np.isfinite(cs)
+    if not extras:
+        keep &= np.arange(len(qs)) % kk < k
+        return qids_sel[qs[keep]], ns[keep], cs[keep]
+    rows = idx.ravel()[order]
+    return (
+        qids_sel[qs[keep]],
+        ns[keep],
+        cs[keep],
+        qs[keep],
+        rows[keep],
+    )
 
 
 def knn_bruteforce(
@@ -102,12 +185,12 @@ def knn_bruteforce(
     cosines, ties broken by lower neighbor id (deterministic)."""
     qm = _normalize(_as_matrix(queries["vector"]))
     qids = queries[query_id_col].to_numpy()
-    q_ref = ray.put((qids, qm))
+    q_ref = ray.put((qids, qm, qm.astype(np.float32)))
 
     def partial(t):
         import pyarrow as pa
 
-        qids_, qm_ = ray.get(q_ref)
+        qids_, qm_, qm32_ = ray.get(q_ref)
         empty = pa.table(
             {
                 query_id_col: pa.array([], pa.int64()),
@@ -118,12 +201,11 @@ def knn_bruteforce(
         if not t.num_rows:
             return empty
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        m = _normalize(_matrix_from_arrow(t[vec_col]))
-        # vectorized partial top-k across ALL queries (argpartition
-        # with tie slack + one lexsort — a full per-query sort of the
-        # batch measured ~50× this); shared with the LSH/IVF paths
-        qv, nv, cv = _vectorized_topk(
-            qids_, qm_ @ m.T, ids, k, exclude_self=exclude_self
+        # mixed-precision scan: float32 matmul over the zero-copy
+        # list<float> buffer, float64 re-rank of the k+16 window —
+        # shared with the LSH/IVF paths
+        qv, nv, cv = _block_topk_mixed(
+            qids_, qm_, qm32_, ids, t[vec_col], k, exclude_self
         )
         return pa.table(
             {
@@ -243,7 +325,7 @@ def knn_ivf(
     # each query's probe cells: top-n_probe centroid dots
     order = np.argsort(-(qm @ cents.T), axis=1, kind="stable")
     probes = order[:, :n_probe]  # (Q, n_probe)
-    q_ref = ray.put((qids, qm, probes))
+    q_ref = ray.put((qids, qm, qm.astype(np.float32), probes))
     cents_ref = ray.put(cents)
 
     import pyarrow as pa
@@ -264,15 +346,14 @@ def knn_ivf(
         )
 
     def per_cell(t: "pa.Table") -> "pa.Table":
-        qids_, qm_, probes_ = ray.get(q_ref)
+        qids_, qm_, qm32_, probes_ = ray.get(q_ref)
         cell = t["__cell"][0].as_py()
         sel = np.flatnonzero((probes_ == cell).any(axis=1))
         if len(sel) == 0:
             return _EMPTY
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        m = _normalize(_matrix_from_arrow(t[vec_col]))
-        qv, nv, cv = _vectorized_topk(
-            qids_[sel], qm_[sel] @ m.T, ids, k, exclude_self=exclude_self
+        qv, nv, cv = _block_topk_mixed(
+            qids_[sel], qm_[sel], qm32_[sel], ids, t[vec_col], k, exclude_self
         )
         return pa.table(
             {
@@ -355,7 +436,8 @@ def knn_lsh(
     qorder = np.argsort(q_buckets, kind="stable")
     n_buckets = 1 << n_bits
     qbounds = np.searchsorted(q_buckets[qorder], np.arange(n_buckets + 1))
-    q_ref = ray.put((qids[qorder], qm[qorder], qbounds))
+    qm_o = qm[qorder]
+    q_ref = ray.put((qids[qorder], qm_o, qm_o.astype(np.float32), qbounds))
     planes_ref = ray.put(planes)
 
     import pyarrow as pa
@@ -371,15 +453,22 @@ def knn_lsh(
     def partial(t: "pa.Table") -> "pa.Table":
         if not t.num_rows:
             return _EMPTY
-        qids_s, qm_s, qbounds_ = ray.get(q_ref)
+        qids_s, qm_s, qm32_s, qbounds_ = ray.get(q_ref)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        m = _normalize(_matrix_from_arrow(t[vec_col]))
-        rb = lsh_bucket_ids(m, ray.get(planes_ref))
+        raw32 = _matrix_from_arrow(t[vec_col], np.float32)
+        m32 = _normalize(raw32)
+        # bucket ids from the float32-normalized matrix: the source
+        # column IS float32 and normalization divides by a positive
+        # norm, so projection SIGNS match the float64 path exactly for
+        # the axis-projection config the oracle models; random-plane
+        # recall is tolerance-tested
+        rb = lsh_bucket_ids(m32, ray.get(planes_ref))
         # sort the block's rows by bucket once: every per-bucket
         # matmul below is then a CONTIGUOUS slice of both operands
         # (per-bucket flatnonzero gathers measured ~3× this)
         rorder = np.argsort(rb, kind="stable")
-        m_s = m[rorder]
+        raw32_s = raw32[rorder]
+        m32_s = m32[rorder]
         ids_s = ids[rorder]
         rbounds = np.searchsorted(rb[rorder], np.arange(len(qbounds_)))
         out_q, out_n, out_c = [], [], []
@@ -391,12 +480,15 @@ def knn_lsh(
             r0, r1 = rbounds[b], rbounds[b + 1]
             if q0 == q1 or r0 == r1:
                 continue
-            qv, nv, cv = _vectorized_topk(
+            qv, nv, cv = _topk_mixed_rows(
                 qids_s[q0:q1],
-                qm_s[q0:q1] @ m_s[r0:r1].T,
+                qm_s[q0:q1],
+                qm32_s[q0:q1],
                 ids_s[r0:r1],
+                raw32_s[r0:r1],
+                m32_s[r0:r1],
                 k,
-                exclude_self=exclude_self,
+                exclude_self,
             )
             out_q.append(qv)
             out_n.append(nv)
