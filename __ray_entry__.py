@@ -896,6 +896,33 @@ def _q_ngram_overlap(sf_dir: str):
     )
 
 
+def _q_components(sf_dir: str):
+    """Connected components as a first-class oracle-gated pipeline:
+    a deterministic edge topology over ``documents`` (50-node chains
+    per doc-id block, plus a merge edge folding every ``b % 3 == 1``
+    block into its predecessor) whose component-min labels have the
+    closed form the SQL oracle states directly — so the engine's
+    distributed label propagation (``ops/components.py``, improvement
+    passes + pointer compression / the Pregel exchange above the gate)
+    is hash-checked end to end, chains, merges and all."""
+    from vat_abcd_crawler_ray.ops.components import components_dataset
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        x = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chain_dst = x[x % 50 != 0]
+        merge_src = x[(x % 50 == 0) & ((x // 50) % 3 == 1)]
+        return pa.table(
+            {
+                "src": np.concatenate([chain_dst - 1, merge_src]),
+                "dst": np.concatenate([chain_dst, merge_src - 50]),
+            }
+        )
+
+    return components_dataset(docs.map_batches(edges, batch_format="pyarrow"))
+
+
 def _q_count_distinct(sf_dir: str):
     """Exact distinct count: per-batch partial dedup (combiner) →
     ``groupby(key).count()`` (one key shuffle over the already-deduped
@@ -1203,6 +1230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "q_dedup_exact_prefix": _q_dedup_exact_prefix,
         "q_ngram_overlap": _q_ngram_overlap,
+        "q_components": _q_components,
         "q_count_distinct": _q_count_distinct,
         "q_seed_hosts": _q_seed_hosts,
         "q_dedup_minhash": _q_dedup_minhash,
@@ -1721,6 +1749,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_dedup_minhash": _minhash_oracle_sql(),
         "q_dedup_simhash": _simhash_oracle_sql(),
+        "q_components": """
+            SELECT CAST(doc_id AS BIGINT) AS node,
+                   CAST(CASE WHEN (doc_id // 50) % 3 = 1
+                             THEN ((doc_id // 50) - 1) * 50
+                             ELSE (doc_id // 50) * 50 END AS BIGINT) AS label
+            FROM documents
+        """,
         "q_count_distinct": """
             SELECT CAST(count(DISTINCT substr(text, 1, 10)) AS BIGINT) AS n
             FROM documents
