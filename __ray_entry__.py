@@ -1463,8 +1463,6 @@ def oracle_sql() -> dict[str, str]:
         LANDING_URI_SQL,
         LAT_SQL,
         LON_SQL,
-        N_UNITS_SQL,
-        PATH_SQL,
         SPECIES_SQL,
         UNIT_ID_SQL,
         URL_SQL,

@@ -28,11 +28,9 @@ Two implementations, same semantics:
 from __future__ import annotations
 
 import os
-from typing import Iterable
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 import ray
 import ray.data
 from ray.data.aggregate import Min
