@@ -402,17 +402,23 @@ def run_scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> dict:
     if reps is None:
         reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
     cooldown_s = float(os.environ.get("BENCH_COOLDOWN_S", "12"))
-    if "BENCH_TABLES_FACTORS" not in os.environ:
-        # scaling-mode default: 4× the standard operator tables (800k
-        # docs / 1.6M vectors / 24M lineitem rows). At the standard
-        # sizes the 32-CPU level finishes dedup/agg/knn inside the
-        # executor's ~1 s fixed overhead (agg_partial measured 0.92 s
-        # at BOTH levels in SCALING_r4 — a floor, not a ratio), so the
-        # scaling signal was the scheduler's, not the operators'. The
-        # per-run JSON records {documents,embeddings,lineitem}_rows, so
-        # the protocol change is self-describing; plain `bench.py`
-        # keeps the standard sizes for round-over-round comparability.
-        os.environ["BENCH_TABLES_FACTORS"] = "160,800,40"
+    # scaling-mode default: 4× the standard operator tables (800k
+    # docs / 1.6M vectors / 24M lineitem rows). At the standard
+    # sizes the 32-CPU level finishes dedup/agg/knn inside the
+    # executor's ~1 s fixed overhead (agg_partial measured 0.92 s
+    # at BOTH levels in SCALING_r4 — a floor, not a ratio), so the
+    # scaling signal was the scheduler's, not the operators'. The
+    # per-run JSON records {documents,embeddings,lineitem}_rows, so
+    # the protocol change is self-describing; plain `bench.py`
+    # keeps the standard sizes for round-over-round comparability.
+    # Passed into the CHILD envs only (never written to os.environ):
+    # mutating the parent changed the protocol as a hidden process-
+    # global side effect leaking into later same-process benchmarks.
+    scaling_env = {
+        "BENCH_TABLES_FACTORS": os.environ.get(
+            "BENCH_TABLES_FACTORS", "160,800,40"
+        )
+    }
 
     def _cooldown():
         """Flush the previous run's dirty pages and let the machine
@@ -428,7 +434,7 @@ def run_scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> dict:
     for _ in range(reps):
         for ncpu in (lo, hi):
             _cooldown()
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **scaling_env)
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
@@ -460,7 +466,7 @@ def run_scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> dict:
     for _ in range(reps):
         for ncpu in (lo, hi):
             _cooldown()
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **scaling_env)
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--crawl-big"],
                 env=env,

@@ -225,3 +225,111 @@ class TestShardedSeenSet:
         t = ss.to_table()
         assert t["surrogate"].to_pylist() == [1, 2, 3]
         assert t["key"].to_pylist() == [8, 9, 7]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSpillTier:
+    """The 10^10-key seam: a tiny ram_cap forces the tail → RAM-run →
+    disk-run path on every commit, and every seen-set contract must
+    hold unchanged (VERDICT r4 #3)."""
+
+    def _spilled(self, tmp_path, num_shards=4, ram_cap=64):
+        return ShardedSeenSet(
+            num_shards=num_shards,
+            capacity_per_shard=1 << 15,
+            ram_cap_per_shard=ram_cap,
+            spill_dir=str(tmp_path / "spill"),
+        )
+
+    def test_commit_lookup_filter_with_spill(self, tmp_path):
+        import os
+
+        import pandas as pd
+
+        rng = np.random.RandomState(99)
+        ss = self._spilled(tmp_path)
+        ref = ShardedSeenSet(num_shards=4, capacity_per_shard=1 << 15)
+        seq = 0
+        all_keys = []
+        for _ in range(4):
+            keys = np.unique(
+                rng.randint(0, 1 << 40, size=3000).astype(np.int64)
+            )
+            seqs = np.arange(seq, seq + len(keys), dtype=np.int64)
+            seq += len(keys)
+            for s in (ss, ref):
+                s.offer_batch(keys, seqs)
+                s.commit_round()
+            all_keys.append(keys)
+        # disk runs actually exist (the cap is far below the volume)
+        spill_files = os.listdir(tmp_path / "spill")
+        assert any(f.endswith("_keys.npy") for f in spill_files), spill_files
+        # lookups agree with the un-capped reference across all tiers
+        probe = np.concatenate(
+            [np.concatenate(all_keys)[::7],
+             rng.randint(1 << 41, 1 << 42, size=500).astype(np.int64)]
+        )
+        np.testing.assert_array_equal(ss.lookup(probe), ref.lookup(probe))
+        # the distributed anti-filter resolves via the run probes
+        cand_keys = np.concatenate(
+            [all_keys[0][:1000],
+             rng.randint(1 << 41, 1 << 42, size=1000).astype(np.int64)]
+        )
+        cand = rd.from_pandas(
+            pd.DataFrame({"key": cand_keys, "x": np.arange(len(cand_keys))})
+        ).repartition(3)
+        got = sorted(
+            ss.filter_unseen_dataset(cand.materialize()).to_pandas()["key"]
+        )
+        want = sorted(
+            ref.filter_unseen_dataset(cand.materialize()).to_pandas()["key"]
+        )
+        assert got == want
+        # full dump equality (to_table sorts by surrogate)
+        pd.testing.assert_frame_equal(
+            ss.to_table().to_pandas(), ref.to_table().to_pandas()
+        )
+
+    def test_snapshot_restore_with_spill(self, tmp_path):
+        ss = self._spilled(tmp_path, num_shards=2, ram_cap=32)
+        rng = np.random.RandomState(3)
+        keys = np.unique(rng.randint(0, 1 << 30, size=500).astype(np.int64))
+        ss.offer_batch(keys, np.arange(len(keys), dtype=np.int64))
+        ss.commit_round()
+        snap = str(tmp_path / "snap")
+        ss.snapshot(snap)
+        # restore into ANOTHER capped set: state comes back as runs and
+        # immediately re-spills past the cap
+        ss2 = self._spilled(tmp_path / "r2", num_shards=2, ram_cap=32)
+        ss2.restore(snap)
+        np.testing.assert_array_equal(ss2.lookup(keys), ss.lookup(keys))
+        assert ss2.next_surrogate == ss.next_surrogate
+        fresh = ss2.offer_batch(
+            np.array([int(keys[0]), 1 << 60]), np.array([9000, 9001])
+        )
+        assert fresh.tolist() == [False, True]
+
+    def test_delta_chain_with_spill(self, tmp_path):
+        ss = self._spilled(tmp_path, num_shards=3, ram_cap=48)
+        ref = ShardedSeenSet(num_shards=3, capacity_per_shard=2048)
+        dirs = []
+        rng = np.random.RandomState(11)
+        seq = 0
+        for rnd in range(3):
+            keys = rng.randint(0, 2000, size=200).astype(np.int64)
+            seqs = np.arange(seq, seq + 200, dtype=np.int64)
+            seq += 200
+            for s in (ss, ref):
+                s.offer_batch(keys, seqs)
+                s.commit_round()
+            d = str(tmp_path / f"seen_{rnd}")
+            ss.snapshot(d, mode="full" if rnd == 0 else "delta")
+            dirs.append(d)
+        restored = self._spilled(tmp_path / "rest", num_shards=3, ram_cap=48)
+        restored.restore_chain(dirs)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            restored.to_table().to_pandas(), ref.to_table().to_pandas()
+        )
+        assert restored.next_surrogate == ref.next_surrogate

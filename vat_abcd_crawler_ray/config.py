@@ -26,6 +26,12 @@ class AbcdConfig:
 class CrawlConfig:
     num_seen_shards: int = 8
     seen_capacity_per_shard: int = 1 << 20
+    # max exact (key → surrogate, first_seq) entries a seen-set shard
+    # keeps in actor RAM before spilling sorted runs to disk under the
+    # run dir (0 = unlimited). At 10^10 URLs even sharded dicts blow
+    # actor memory; the cuckoo filter answers most probes and only
+    # filter positives binary-search the memmapped runs.
+    seen_ram_cap_per_shard: int = 0
     # simulated-network page store shards; 0 = auto (scale with cluster
     # CPUs — a real fetch tier (S3/HTTP) adds bandwidth with cluster
     # size, so a fixed shard count would impose an artificial fetch

@@ -208,40 +208,36 @@ def _answer_shortcuts(label_b: pa.Table, nb: int, *queries: pa.Table) -> list:
 def components_driver(edges: pd.DataFrame, src: str = "src", dst: str = "dst") -> dict:
     """{node: component_min_label} over an in-memory edge list.
 
-    Union-find with path compression (one pass over the edges, near-
-    linear), then a vectorized per-root min fold so the label is the
-    component's MIN node id — same contract as the old iterated
-    propagation loop, O(E·α) instead of O(E·iterations)."""
+    Same vectorized kernel as the Dataset path's below-gate regime —
+    per-pass ``np.minimum.at`` improvement over ALL edges followed by
+    pointer compression (label ← label[label] to fixpoint) — so each
+    outer pass is O(E) numpy work and the pass count is O(log
+    diameter). Replaces the old per-edge Python union-find loop, whose
+    ~1M serial iterations were slower than the distributed path on 2M
+    edges."""
     if not len(edges):
         return {}
     s = edges[src].to_numpy(dtype=np.int64)
     d = edges[dst].to_numpy(dtype=np.int64)
-    ids = pd.unique(np.concatenate([s, d]))
-    pos = pd.Series(np.arange(len(ids), dtype=np.int64), index=ids)
-    si = pos[s].to_numpy()
-    di = pos[d].to_numpy()
-    parent = np.arange(len(ids), dtype=np.int64)
-
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in zip(si.tolist(), di.tolist()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    roots = np.fromiter((find(i) for i in range(len(ids))), np.int64, len(ids))
-    comp_min = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
-    np.minimum.at(comp_min, roots, ids)
-    labels = comp_min[roots]
-    return dict(zip(ids.tolist(), labels.tolist()))
+    ids = np.unique(np.concatenate([s, d]))
+    si = np.searchsorted(ids, s)
+    di = np.searchsorted(ids, d)
+    # labels are POSITIONS into ids (ids is sorted, so min position ⇔
+    # min node id) — keeps the indirection a plain array index
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, si, lab[di])
+        np.minimum.at(new, di, lab[si])
+        while True:  # pointer compression
+            nn = np.minimum(new, new[new])
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return dict(zip(ids.tolist(), ids[lab].tolist()))
 
 
 def components_dataset(
@@ -550,10 +546,16 @@ def components_dataset(
 def min_label_components(
     edges: "ray.data.Dataset", src: str = "src", dst: str = "dst"
 ) -> "ray.data.Dataset":
-    """(node, label) Dataset for the edge Dataset — driver loop below
+    """(node, label) Dataset for the edge Dataset — driver kernel below
     :data:`DRIVER_EDGE_LIMIT` edges (verified near-dup edge sets are
-    sparse), iterated Dataset label propagation above it."""
-    n = edges.count()
+    sparse), iterated Dataset label propagation above it.
+
+    The edge plan is materialized ONCE at entry: for the dedup family
+    the upstream is the (expensive) verify stage, and the old
+    count-then-consume pattern executed it twice — once for the gate,
+    once for the chosen path (both branches re-ran the lazy plan)."""
+    edges = edges.materialize()
+    n = edges.count()  # metadata on a MaterializedDataset — no re-run
     if n > DRIVER_EDGE_LIMIT:
         return components_dataset(edges, src, dst)
     if n == 0:

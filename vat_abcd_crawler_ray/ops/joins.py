@@ -176,7 +176,10 @@ def membership_flag_join(
                 batch_format="pyarrow",
             )
         vals = keys.to_pandas()[on].to_numpy()
-        key_ref = ray.put(pa.array(sorted(set(vals.tolist()))))
+        # np.unique, not sorted(set(...)): same rationale as
+        # broadcast_semi_join above — no per-key Python boxing on the
+        # driver for up to broadcast_limit listing keys.
+        key_ref = ray.put(pa.array(np.unique(vals)))
 
         def _flag(batch: pa.Table) -> pa.Table:
             mask = pc.is_in(batch[on], value_set=ray.get(key_ref))

@@ -373,7 +373,16 @@ class CrawlRun:
         self._page_store = None
         self.manifest = RunManifest(run_dir)
         cc = self.settings.crawl
-        self.seen = ShardedSeenSet(cc.num_seen_shards, cc.seen_capacity_per_shard)
+        self.seen = ShardedSeenSet(
+            cc.num_seen_shards,
+            cc.seen_capacity_per_shard,
+            ram_cap_per_shard=cc.seen_ram_cap_per_shard or None,
+            spill_dir=(
+                os.path.join(run_dir, "seen_spill")
+                if cc.seen_ram_cap_per_shard
+                else None
+            ),
+        )
         self.metrics = CrawlMetrics()
         self.next_seq = 0
 

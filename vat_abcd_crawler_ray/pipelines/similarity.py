@@ -50,6 +50,29 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
 
 
+def _scan_matrices(vec_arrow) -> tuple[np.ndarray, np.ndarray]:
+    """(raw_rank, raw32) for the mixed-precision scan, chosen from the
+    Arrow value type: for ``list<float>`` raw32 is the zero-copy
+    float32 buffer and raw_rank IS raw32 (f32→f64 is exact, so the
+    re-rank reproduces the all-float64 path bit for bit); for
+    ``list<double>`` the native float64 matrix is KEPT as raw_rank and
+    raw32 is a prefilter-only copy — unconditionally casting to f32
+    made the 'float64 re-rank' start from lossy values and could flip
+    near-tie orderings for float64-stored corpora."""
+    import pyarrow as pa
+
+    a = (
+        vec_arrow.combine_chunks()
+        if isinstance(vec_arrow, pa.ChunkedArray)
+        else vec_arrow
+    )
+    if len(a) and pa.types.is_float64(a.type.value_type):
+        raw64 = _matrix_from_arrow(a, np.float64)
+        return raw64, raw64.astype(np.float32)
+    raw32 = _matrix_from_arrow(a, np.float32)
+    return raw32, raw32
+
+
 def _block_topk_mixed(
     qids_sel: np.ndarray,
     qm64_sel: np.ndarray,
@@ -62,16 +85,17 @@ def _block_topk_mixed(
     """Mixed-precision block top-k: the corpus-side scan runs in
     float32 (zero-copy from the ``list<float>`` buffer, half the
     memory traffic, double the SIMD width), then ONLY the selected
-    candidates are recomputed in float64 — bit-identical to the old
+    candidates are recomputed in float64 from the column's native
+    precision (:func:`_scan_matrices`) — bit-identical to the old
     all-float64 path's scores — so the final ranking keeps float64
     semantics. The float32 prefilter keeps a widened slack window
     (k+16 per query inside :func:`_vectorized_topk`); a true top-k
     member is lost only if >16 candidates score within the ~1e-6
     float32 error of the k-th — far past the exact-tie hazard the old
     path already had with its k+8 window."""
-    raw32 = _matrix_from_arrow(vec_arrow, np.float32)
+    raw_rank, raw32 = _scan_matrices(vec_arrow)
     return _topk_mixed_rows(
-        qids_sel, qm64_sel, qm32_sel, ids, raw32, _normalize(raw32), k,
+        qids_sel, qm64_sel, qm32_sel, ids, raw_rank, _normalize(raw32), k,
         exclude_self,
     )
 
@@ -81,13 +105,15 @@ def _topk_mixed_rows(
     qm64_sel: np.ndarray,
     qm32_sel: np.ndarray,
     ids: np.ndarray,
-    raw32: np.ndarray,
+    raw_rank: np.ndarray,
     m32: np.ndarray,
     k: int,
     exclude_self: bool,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Core of :func:`_block_topk_mixed` over precomputed row slices
-    (the LSH path calls it once per contiguous bucket slice)."""
+    (the LSH path calls it once per contiguous bucket slice).
+    ``raw_rank`` carries the column's NATIVE precision for the re-rank
+    (float32 for list<float>, float64 for list<double>)."""
     qv, nv, _cv32, qrows, rows = _vectorized_topk(
         qids_sel,
         qm32_sel @ m32.T,
@@ -99,10 +125,11 @@ def _topk_mixed_rows(
     )
     if not len(rows):
         return qv, nv, np.zeros(0, np.float64)
-    # float64 re-rank of the selected pairs only (f32→f64 is exact, so
-    # these are the very values the old all-float64 path produced:
-    # same flat buffer → f64 → normalize → dot)
-    cand64 = _normalize(raw32[rows].astype(np.float64))
+    # float64 re-rank of the selected pairs only, from the NATIVE
+    # precision (f32→f64 is exact for list<float> storage; list<double>
+    # storage arrives here uncast), so these are the very values the
+    # old all-float64 path produced: flat buffer → f64 → normalize → dot
+    cand64 = _normalize(raw_rank[rows].astype(np.float64, copy=False))
     cs64 = np.einsum("ij,ij->i", qm64_sel[qrows], cand64)
     # truncate the widened window back to top-k per query under the
     # FLOAT64 order, so partial volume matches the old path exactly
@@ -455,19 +482,19 @@ def knn_lsh(
             return _EMPTY
         qids_s, qm_s, qm32_s, qbounds_ = ray.get(q_ref)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        raw32 = _matrix_from_arrow(t[vec_col], np.float32)
+        raw_rank, raw32 = _scan_matrices(t[vec_col])
         m32 = _normalize(raw32)
-        # bucket ids from the float32-normalized matrix: the source
-        # column IS float32 and normalization divides by a positive
-        # norm, so projection SIGNS match the float64 path exactly for
-        # the axis-projection config the oracle models; random-plane
+        # bucket ids from the float32-normalized matrix: f64→f32 cast
+        # and division by a positive norm both preserve sign, so
+        # projection SIGNS match the float64 path exactly for the
+        # axis-projection config the oracle models; random-plane
         # recall is tolerance-tested
         rb = lsh_bucket_ids(m32, ray.get(planes_ref))
         # sort the block's rows by bucket once: every per-bucket
         # matmul below is then a CONTIGUOUS slice of both operands
         # (per-bucket flatnonzero gathers measured ~3× this)
         rorder = np.argsort(rb, kind="stable")
-        raw32_s = raw32[rorder]
+        raw_rank_s = raw_rank[rorder]
         m32_s = m32[rorder]
         ids_s = ids[rorder]
         rbounds = np.searchsorted(rb[rorder], np.arange(len(qbounds_)))
@@ -485,7 +512,7 @@ def knn_lsh(
                 qm_s[q0:q1],
                 qm32_s[q0:q1],
                 ids_s[r0:r1],
-                raw32_s[r0:r1],
+                raw_rank_s[r0:r1],
                 m32_s[r0:r1],
                 k,
                 exclude_self,

@@ -5,7 +5,8 @@ URL-seen set"): at 10^10 URLs an exact per-shard hash map does not fit
 in actor memory, so membership is answered by a cuckoo filter
 (~2 bytes/key at 95% load) with NO false negatives; the exact
 (key → surrogate, first_seq) map is only consulted on filter positives
-and can live in partitioned Parquet on disk. Implemented from the
+and spills to sorted memmapped runs on disk past a RAM cap
+(``seen_set._Run`` — binary-search probes touch O(log n) pages). Implemented from the
 published algorithm (Fan et al., "Cuckoo Filter: Practically Better
 Than Bloom", CoNEXT 2014): 4-slot buckets, 16-bit fingerprints,
 partial-key cuckoo hashing with bounded eviction kicks.

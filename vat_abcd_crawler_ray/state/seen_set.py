@@ -15,8 +15,9 @@ Two implementations, same semantics:
   oracle-checkable path, used for batch dedup.
 - :class:`ShardedSeenSet` — the streaming path for the crawl frontier:
   N shard actors (shard = ``key % num_shards``), each holding a cuckoo
-  prefilter (state/cuckoo.py) + an exact ``key → (surrogate,
-  first_seq)`` map. Links discovered mid-round are filtered through
+  prefilter (state/cuckoo.py) + a TIERED exact ``key → (surrogate,
+  first_seq)`` store (bounded dict tail → sorted RAM runs → memmapped
+  disk runs past ``ram_cap``). Links discovered mid-round are filtered through
   ``offer`` (batched actor calls from ``map_batches`` tasks); at the
   round barrier ``commit_round`` resolves min-seq winners and assigns
   dense surrogates in (round, first_seq) order — reproducing the
@@ -61,22 +62,159 @@ def first_wins_dataset(
     return zip_with_index(firsts.sort("first_seq"), surrogate_col, start=start)
 
 
+class _Run:
+    """One sorted committed run: ``keys`` ascending, values aligned.
+    RAM-backed (plain ndarrays) or disk-backed (``np.load(...,
+    mmap_mode='r')`` memmaps — a ``searchsorted`` probe touches only
+    O(log n) pages, which is why runs are raw ``.npy`` rather than the
+    Parquet the cuckoo module's docstring originally sketched: Parquet
+    membership probes would decode whole row groups per miss)."""
+
+    __slots__ = ("keys", "surrogates", "first_seqs", "path")
+
+    def __init__(self, keys, surrogates, first_seqs, path: str | None = None):
+        self.keys = keys
+        self.surrogates = surrogates
+        self.first_seqs = first_seqs
+        self.path = path  # spill file prefix when disk-backed
+
+    def __len__(self) -> int:
+        return len(self.keys)
+
+
+# Consolidate the tail dict into a sorted run past this size, so the
+# vectorized run probes (not per-key dict loops) carry the steady state.
+_TAIL_MAX = 1 << 16
+# Merge RAM runs down to one when this many accumulate (amortized
+# O(n log n) concatenate+argsort, keeps the per-probe run count small).
+_RAM_RUN_MAX = 6
+
+
 # num_cpus=0: shard actors are memory-bound state holders that must not
 # reserve data-plane CPUs (a pool of them would otherwise starve the
 # map_batches stages on small clusters — observed deadlock at num_cpus=4).
 @ray.remote(num_cpus=0)
 class SeenSetShard:
     """One shard of the seen set. All methods take/return numpy or Arrow
-    (zero pickling of Python row objects)."""
+    (zero pickling of Python row objects).
 
-    def __init__(self, shard_id: int, capacity: int = 1 << 20):
+    Committed state is TIERED (the 10^10-key design the cuckoo module
+    promises): a small ``exact`` dict holds only the entries committed
+    since the last consolidation; everything older lives in sorted
+    ``(key, surrogate, first_seq)`` runs — RAM ndarrays first, spilled
+    to disk as memmapped ``.npy`` runs once RAM-resident entries exceed
+    ``ram_cap``. Membership and lookup are a cuckoo prefilter, then a
+    vectorized ``searchsorted`` over the runs, then a dict probe over
+    the bounded tail — so neither a steady-state crawl (mostly-seen
+    candidates) nor a 10^10-key shard ever walks keys one by one or
+    holds them all in actor memory."""
+
+    def __init__(
+        self,
+        shard_id: int,
+        capacity: int = 1 << 20,
+        ram_cap: int | None = None,
+        spill_dir: str | None = None,
+    ):
         self.shard_id = shard_id
-        self.exact: dict[int, tuple[int, int]] = {}  # key -> (surrogate, first_seq)
+        self.exact: dict[int, tuple[int, int]] = {}  # unconsolidated tail
         self.filter = CuckooFilter(capacity)
         self.pending: dict[int, int] = {}  # this round: key -> min seq
         # (key, surrogate, first_seq) stored since the last snapshot —
         # the payload of a DELTA snapshot (O(round), not O(total))
         self._delta: list[tuple[int, int, int]] = []
+        self._runs: list[_Run] = []  # oldest → newest
+        if ram_cap is not None and spill_dir is None:
+            raise ValueError("ram_cap requires spill_dir")
+        self.ram_cap = ram_cap
+        self.spill_dir = spill_dir
+        self._spill_seq = 0
+        # the tail must consolidate before it alone can exceed ram_cap
+        self._tail_max = min(_TAIL_MAX, ram_cap) if ram_cap else _TAIL_MAX
+
+    # -- committed-tier internals ------------------------------------
+
+    def _in_runs(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership of ``keys`` in the sorted runs."""
+        out = np.zeros(len(keys), dtype=bool)
+        for run in self._runs:
+            rk = run.keys
+            if not len(rk):
+                continue
+            pos = np.clip(np.searchsorted(rk, keys), 0, len(rk) - 1)
+            out |= rk[pos] == keys
+        return out
+
+    def _committed_mask(self, keys: np.ndarray) -> np.ndarray:
+        """True where ``keys[i]`` is committed-seen (runs OR tail)."""
+        mask = self._in_runs(keys)
+        exact = self.exact
+        if exact:
+            for i in np.flatnonzero(~mask):
+                if int(keys[i]) in exact:
+                    mask[i] = True
+        return mask
+
+    def _consolidate_tail(self) -> None:
+        """Fold the tail dict into a sorted RAM run; merge RAM runs
+        when too many accumulate; spill past ``ram_cap``. Runs never
+        contain duplicate keys across each other (commit filters
+        already-committed keys before assignment), but lookup/dump
+        resolve newest-run-wins anyway, matching dict.update."""
+        n = len(self.exact)
+        if n:
+            keys = np.fromiter(self.exact.keys(), np.int64, n)
+            vals = np.array(list(self.exact.values()), np.int64).reshape(-1, 2)
+            order = np.argsort(keys, kind="stable")
+            self._runs.append(
+                _Run(keys[order], vals[order, 0].copy(), vals[order, 1].copy())
+            )
+            self.exact = {}
+        ram_runs = [r for r in self._runs if r.path is None]
+        if len(ram_runs) > _RAM_RUN_MAX:
+            merged_keys = np.concatenate([r.keys for r in ram_runs])
+            merged_sur = np.concatenate([r.surrogates for r in ram_runs])
+            merged_seq = np.concatenate([r.first_seqs for r in ram_runs])
+            order = np.argsort(merged_keys, kind="stable")
+            merged = _Run(merged_keys[order], merged_sur[order], merged_seq[order])
+            self._runs = [r for r in self._runs if r.path is not None] + [merged]
+            ram_runs = [merged]
+        if self.ram_cap is not None:
+            while sum(len(r) for r in ram_runs) > self.ram_cap and ram_runs:
+                victim = max(ram_runs, key=len)
+                self._spill_run(victim)
+                ram_runs.remove(victim)
+
+    def _spill_run(self, run: _Run) -> None:
+        """Write one RAM run to disk as three ``.npy`` files and swap
+        its arrays for read-only memmaps (RAM freed; probes hit the
+        page cache)."""
+        os.makedirs(self.spill_dir, exist_ok=True)
+        prefix = os.path.join(
+            self.spill_dir, f"shard{self.shard_id}_run{self._spill_seq}"
+        )
+        self._spill_seq += 1
+        for name, arr in (
+            ("keys", run.keys),
+            ("sur", run.surrogates),
+            ("seq", run.first_seqs),
+        ):
+            tmp = f"{prefix}_{name}.tmp.npy"  # .npy suffix: np.save
+            np.save(tmp, np.ascontiguousarray(arr))  # won't re-append
+            os.replace(tmp, f"{prefix}_{name}.npy")
+        run.keys = np.load(f"{prefix}_keys.npy", mmap_mode="r")
+        run.surrogates = np.load(f"{prefix}_sur.npy", mmap_mode="r")
+        run.first_seqs = np.load(f"{prefix}_seq.npy", mmap_mode="r")
+        run.path = prefix
+
+    def _store_committed(self, kl, gl, sl) -> None:
+        """Append committed entries to the tail; consolidate past the
+        tail bound (append + periodic merge — assign-time cost is
+        amortized O(1) per key)."""
+        self.exact.update(zip(kl, zip(gl, sl)))  # C-level bulk store
+        self._delta.extend(zip(kl, gl, sl))
+        if len(self.exact) >= self._tail_max:
+            self._consolidate_tail()
 
     def offer(self, keys: np.ndarray, seqs: np.ndarray) -> np.ndarray:
         """Mark candidate (key, seq) pairs; returns a bool mask of keys
@@ -87,9 +225,9 @@ class SeenSetShard:
         seqs = np.asarray(seqs, dtype=np.int64)
         maybe_seen = self.filter.contains(keys)
         fresh = np.ones(len(keys), dtype=bool)
-        for i in np.flatnonzero(maybe_seen):
-            if int(keys[i]) in self.exact:  # true positive
-                fresh[i] = False
+        pos_idx = np.flatnonzero(maybe_seen)
+        if len(pos_idx):
+            fresh[pos_idx] = ~self._committed_mask(keys[pos_idx])
         idx = np.flatnonzero(fresh)
         if len(idx):
             # within-call min-seq per key VECTORIZED (lexsort + first
@@ -121,11 +259,8 @@ class SeenSetShard:
         keys = np.fromiter(self.pending.keys(), np.int64, n)
         seqs = np.fromiter(self.pending.values(), np.int64, n)
         self.pending = {}
-        exact = self.exact
-        if exact and n:
-            mask = np.fromiter(
-                (k not in exact for k in keys.tolist()), bool, n
-            )
+        if n:
+            mask = ~self._committed_mask(keys)
             keys, seqs = keys[mask], seqs[mask]
         order = np.argsort(seqs, kind="stable")
         return pa.table(
@@ -137,12 +272,12 @@ class SeenSetShard:
         keys = np.asarray(keys, dtype=np.int64)
         if len(keys):
             self.filter.add(keys)
-            kl = keys.tolist()
-            gl = np.asarray(surrogates).tolist()
-            sl = np.asarray(first_seqs).tolist()
-            self.exact.update(zip(kl, zip(gl, sl)))  # C-level bulk store
-            self._delta.extend(zip(kl, gl, sl))
-        return len(self.exact)
+            self._store_committed(
+                keys.tolist(),
+                np.asarray(surrogates).tolist(),
+                np.asarray(first_seqs).tolist(),
+            )
+        return self.size()
 
     def assign_block(self, table: pa.Table, num_shards: int,
                      seq_col: str = "seq") -> int:
@@ -154,26 +289,42 @@ class SeenSetShard:
         touches the driver."""
         table = _as_arrow_block(table)
         if table.num_rows == 0 or "key" not in table.column_names:
-            return len(self.exact)  # sort/shuffle ops emit schemaless empties
+            return self.size()  # sort/shuffle ops emit schemaless empties
         keys = table["key"].to_numpy()
         mask = (keys % num_shards) == self.shard_id
         sel = np.flatnonzero(mask)
         if len(sel):
             self.filter.add(keys[sel])
-            kl = keys[sel].tolist()
-            gl = table["surrogate"].to_numpy()[sel].tolist()
-            sl = table[seq_col].to_numpy()[sel].tolist()
-            self.exact.update(zip(kl, zip(gl, sl)))
-            self._delta.extend(zip(kl, gl, sl))
-        return len(self.exact)
+            self._store_committed(
+                keys[sel].tolist(),
+                table["surrogate"].to_numpy()[sel].tolist(),
+                table[seq_col].to_numpy()[sel].tolist(),
+            )
+        return self.size()
 
     def lookup(self, keys: np.ndarray) -> np.ndarray:
-        """surrogate per key, -1 if unseen."""
-        return np.fromiter(
-            (self.exact.get(int(k), (-1, -1))[0] for k in np.asarray(keys)),
-            dtype=np.int64,
-            count=len(keys),
-        )
+        """surrogate per key, -1 if unseen. Tail probe first (newest
+        wins), then vectorized run probes newest → oldest."""
+        keys = np.asarray(keys, dtype=np.int64)
+        out = np.full(len(keys), -1, dtype=np.int64)
+        resolved = np.zeros(len(keys), dtype=bool)
+        exact = self.exact
+        if exact:
+            for i, k in enumerate(keys.tolist()):
+                hit = exact.get(k)
+                if hit is not None:
+                    out[i] = hit[0]
+                    resolved[i] = True
+        for run in reversed(self._runs):
+            todo = np.flatnonzero(~resolved)
+            if not len(todo) or not len(run.keys):
+                continue
+            pos = np.clip(np.searchsorted(run.keys, keys[todo]), 0,
+                          len(run.keys) - 1)
+            hit = run.keys[pos] == keys[todo]
+            out[todo[hit]] = run.surrogates[pos[hit]]
+            resolved[todo[hit]] = True
+        return out
 
     def filter_unseen_block(self, table: pa.Table, num_shards: int) -> pa.Table:
         """Shard-parallel anti-filter for the distributed link
@@ -191,14 +342,15 @@ class SeenSetShard:
         if len(mine) == 0:
             return table.take(pa.array(mine, pa.int64()))
         # cuckoo prefilter (no false negatives, same pattern as
-        # ``offer``): only filter-POSITIVE rows pay the per-key dict
-        # probe — novel-heavy rounds stay fully vectorized
+        # ``offer``): filter-POSITIVE rows resolve through the
+        # vectorized run probes + bounded tail — a steady-state crawl
+        # (mostly-seen candidates) no longer degenerates to a per-key
+        # Python dict loop
         maybe = self.filter.contains(keys[mine])
         unseen_mask = ~maybe
-        exact = self.exact
-        for j in np.flatnonzero(maybe):
-            if int(keys[mine[j]]) not in exact:  # false positive
-                unseen_mask[j] = True
+        pos = np.flatnonzero(maybe)
+        if len(pos):
+            unseen_mask[pos] = ~self._committed_mask(keys[mine[pos]])
         unseen = mine[unseen_mask]
         return table.take(pa.array(unseen, pa.int64()))
 
@@ -219,15 +371,14 @@ class SeenSetShard:
             os.replace(tmp + ".npz", path)
             self._delta = []
             return
-        keys = np.fromiter(self.exact.keys(), dtype=np.int64, count=len(self.exact))
-        vals = np.array(list(self.exact.values()), dtype=np.int64).reshape(-1, 2)
+        keys, sur, seq = self._all_committed()
         # uncompressed: snapshots happen EVERY round; compression cost
         # grows with the seen set while the write stays page-cache fast
         np.savez(
             tmp,
             keys=keys,
-            surrogates=vals[:, 0] if len(vals) else np.zeros(0, np.int64),
-            first_seqs=vals[:, 1] if len(vals) else np.zeros(0, np.int64),
+            surrogates=sur,
+            first_seqs=seq,
             filter_table=self.filter.table,
             filter_count=self.filter.count,
             filter_slots=self.filter.slots,
@@ -237,10 +388,18 @@ class SeenSetShard:
 
     def restore(self, path: str) -> int:
         st = np.load(path)
-        self.exact = {
-            int(k): (int(g), int(s))
-            for k, g, s in zip(st["keys"], st["surrogates"], st["first_seqs"])
-        }
+        keys = st["keys"].astype(np.int64, copy=False)
+        order = np.argsort(keys, kind="stable")
+        # restore into ONE sorted run, not a dict: a 10^10-key shard
+        # must come back as probe-able arrays, never Python objects
+        self._runs = [
+            _Run(
+                keys[order],
+                st["surrogates"].astype(np.int64, copy=False)[order],
+                st["first_seqs"].astype(np.int64, copy=False)[order],
+            )
+        ]
+        self.exact = {}
         self.filter = CuckooFilter.from_state(
             {
                 "table": st["filter_table"],
@@ -250,36 +409,70 @@ class SeenSetShard:
         )
         self.pending = {}
         self._delta = []
-        return len(self.exact)
+        self._consolidate_tail()  # apply the ram_cap spill policy
+        return self.size()
 
     def apply_delta(self, path: str) -> int:
         """Replay one delta snapshot on top of the current state (chain
         restore: full base + deltas in round order). The cuckoo filter
-        is rebuilt incrementally by re-adding the delta keys."""
+        is rebuilt incrementally by re-adding the delta keys. The
+        replayed entries do NOT re-enter the delta buffer — they came
+        from a durable snapshot already."""
         st = np.load(path)
         keys = st["delta_keys"]
         if len(keys):
             self.filter.add(keys.astype(np.int64))
-            for k, g, s in zip(
-                keys.tolist(),
-                st["delta_surrogates"].tolist(),
-                st["delta_first_seqs"].tolist(),
-            ):
-                self.exact[int(k)] = (int(g), int(s))
-        return len(self.exact)
+            self.exact.update(
+                zip(
+                    keys.tolist(),
+                    zip(
+                        st["delta_surrogates"].tolist(),
+                        st["delta_first_seqs"].tolist(),
+                    ),
+                )
+            )
+            if len(self.exact) >= self._tail_max:
+                self._consolidate_tail()
+        return self.size()
 
     def size(self) -> int:
-        return len(self.exact)
+        return len(self.exact) + sum(len(r) for r in self._runs)
+
+    def _all_committed(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(keys, surrogates, first_seqs) across tail + runs, newest
+        occurrence winning on (never-expected) duplicates — the
+        dict.update semantics the single-tier store had."""
+        parts_k, parts_s, parts_q = [], [], []
+        for run in self._runs:
+            parts_k.append(np.asarray(run.keys))
+            parts_s.append(np.asarray(run.surrogates))
+            parts_q.append(np.asarray(run.first_seqs))
+        n = len(self.exact)
+        if n:
+            parts_k.append(np.fromiter(self.exact.keys(), np.int64, n))
+            vals = np.array(list(self.exact.values()), np.int64).reshape(-1, 2)
+            parts_s.append(vals[:, 0])
+            parts_q.append(vals[:, 1])
+        if not parts_k:
+            z = np.zeros(0, np.int64)
+            return z, z, z
+        keys = np.concatenate(parts_k)
+        sur = np.concatenate(parts_s)
+        seq = np.concatenate(parts_q)
+        uniq, idx = np.unique(keys[::-1], return_index=True)
+        if len(uniq) != len(keys):  # newest-wins dedup, rare path
+            take = len(keys) - 1 - idx
+            keys, sur, seq = keys[take], sur[take], seq[take]
+        return keys, sur, seq
 
     def dump(self) -> pa.Table:
         """(key, surrogate, first_seq) for this shard."""
-        keys = np.fromiter(self.exact.keys(), dtype=np.int64, count=len(self.exact))
-        vals = np.array(list(self.exact.values()), dtype=np.int64).reshape(-1, 2)
+        keys, sur, seq = self._all_committed()
         return pa.table(
             {
                 "key": pa.array(keys),
-                "surrogate": pa.array(vals[:, 0] if len(vals) else np.zeros(0, np.int64)),
-                "first_seq": pa.array(vals[:, 1] if len(vals) else np.zeros(0, np.int64)),
+                "surrogate": pa.array(sur),
+                "first_seq": pa.array(seq),
             }
         )
 
@@ -287,10 +480,17 @@ class SeenSetShard:
 class ShardedSeenSet:
     """Driver-side handle over the shard actor pool."""
 
-    def __init__(self, num_shards: int = 8, capacity_per_shard: int = 1 << 20):
+    def __init__(
+        self,
+        num_shards: int = 8,
+        capacity_per_shard: int = 1 << 20,
+        ram_cap_per_shard: int | None = None,
+        spill_dir: str | None = None,
+    ):
         self.num_shards = num_shards
         self.shards = [
-            SeenSetShard.remote(i, capacity_per_shard) for i in range(num_shards)
+            SeenSetShard.remote(i, capacity_per_shard, ram_cap_per_shard, spill_dir)
+            for i in range(num_shards)
         ]
         self.next_surrogate = 1
 
