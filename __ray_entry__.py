@@ -177,7 +177,17 @@ def _q_agg_partial(sf_dir: str):
     # is the parquet IO atom, so over-splitting makes tasks decode the
     # SAME group and slice it (duplicated work, measured slower)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    ngroups = _pq.ParquetFile(_t(sf_dir, "lineitem")).num_row_groups
+    li_path = _t(sf_dir, "lineitem")
+    # the bench's replicated tables are multi-file DIRECTORIES (decode-
+    # parallel); sum the row groups across parts in that case
+    if os.path.isdir(li_path):
+        ngroups = sum(
+            _pq.ParquetFile(os.path.join(li_path, f)).num_row_groups
+            for f in os.listdir(li_path)
+            if f.endswith(".parquet")
+        )
+    else:
+        ngroups = _pq.ParquetFile(li_path).num_row_groups
     li = _read(
         sf_dir,
         "lineitem",
@@ -896,33 +906,6 @@ def _q_ngram_overlap(sf_dir: str):
     )
 
 
-def _q_components(sf_dir: str):
-    """Connected components as a first-class oracle-gated pipeline:
-    a deterministic edge topology over ``documents`` (50-node chains
-    per doc-id block, plus a merge edge folding every ``b % 3 == 1``
-    block into its predecessor) whose component-min labels have the
-    closed form the SQL oracle states directly — so the engine's
-    distributed label propagation (``ops/components.py``, improvement
-    passes + pointer compression / the Pregel exchange above the gate)
-    is hash-checked end to end, chains, merges and all."""
-    from vat_abcd_crawler_ray.ops.components import components_dataset
-
-    docs = _read(sf_dir, "documents", ["doc_id"])
-
-    def edges(t: pa.Table) -> pa.Table:
-        x = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        chain_dst = x[x % 50 != 0]
-        merge_src = x[(x % 50 == 0) & ((x // 50) % 3 == 1)]
-        return pa.table(
-            {
-                "src": np.concatenate([chain_dst - 1, merge_src]),
-                "dst": np.concatenate([chain_dst, merge_src - 50]),
-            }
-        )
-
-    return components_dataset(docs.map_batches(edges, batch_format="pyarrow"))
-
-
 def _q_count_distinct(sf_dir: str):
     """Exact distinct count: per-batch partial dedup (combiner) →
     ``groupby(key).count()`` (one key shuffle over the already-deduped
@@ -1055,7 +1038,25 @@ def _q_dedup_simhash(sf_dir: str):
 
 
 def _q_fingerprint(sf_dir: str):
+    """Rolling-hash fingerprint AND connected-component label per
+    document in ONE query (merged per VERDICT r4 #1: the driver
+    records at most 50 CORRECTNESS rows, and a standalone
+    ``q_components`` pushed ``q_multimodal_features`` to position 51
+    — exactly the cap regression round 3 had already solved once).
+
+    The component side is the full distributed pipeline: a
+    deterministic edge topology over ``documents`` (50-node chains per
+    doc-id block, a merge edge folding every ``b % 3 == 1`` block into
+    its predecessor, plus a SELF-edge per doc so every document is a
+    node even at scale factors whose count is not a multiple of 50)
+    → ``components_dataset`` (improvement passes + pointer
+    compression / Pregel exchange above the gate) → bucketed hash
+    join back onto the fingerprint stream. The oracle states the
+    component-min closed form directly, so a propagation bug breaks
+    the hash."""
     from vat_abcd_crawler_ray.functions.textstats import fingerprint
+    from vat_abcd_crawler_ray.ops.components import components_dataset
+    from vat_abcd_crawler_ray.ops.joins import bucket_hash_join
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -1064,7 +1065,30 @@ def _q_fingerprint(sf_dir: str):
             {"doc_id": df["doc_id"], "fp": fingerprint(df["text"])}
         )
 
-    return docs.map_batches(f, batch_format="pandas")
+    fp = docs.map_batches(f, batch_format="pandas")
+
+    # separate pruned read for the edge side: the component pipeline
+    # never needs `text`, and the two branches execute independently
+    ids = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        x = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chain_dst = x[x % 50 != 0]
+        merge_src = x[(x % 50 == 0) & ((x // 50) % 3 == 1)]
+        return pa.table(
+            {
+                "src": np.concatenate([x, chain_dst - 1, merge_src]),
+                "dst": np.concatenate([x, chain_dst, merge_src - 50]),
+            }
+        )
+
+    comp = components_dataset(
+        ids.map_batches(edges, batch_format="pyarrow")
+    ).map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "comp_label": t["label"]}),
+        batch_format="pyarrow",
+    )
+    return bucket_hash_join(fp, comp, on="doc_id")
 
 
 def _q_knn_lsh(sf_dir: str):
@@ -1230,7 +1254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "q_dedup_exact_prefix": _q_dedup_exact_prefix,
         "q_ngram_overlap": _q_ngram_overlap,
-        "q_components": _q_components,
+        # connected components rides inside q_fingerprint (comp_label
+        # column) — the driver records at most 50 rows and a 51st
+        # entry silently drops off the gate (VERDICT r4 #1)
         "q_count_distinct": _q_count_distinct,
         "q_seed_hosts": _q_seed_hosts,
         "q_dedup_minhash": _q_dedup_minhash,
@@ -1747,13 +1773,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_dedup_minhash": _minhash_oracle_sql(),
         "q_dedup_simhash": _simhash_oracle_sql(),
-        "q_components": """
-            SELECT CAST(doc_id AS BIGINT) AS node,
-                   CAST(CASE WHEN (doc_id // 50) % 3 = 1
-                             THEN ((doc_id // 50) - 1) * 50
-                             ELSE (doc_id // 50) * 50 END AS BIGINT) AS label
-            FROM documents
-        """,
         "q_count_distinct": """
             SELECT CAST(count(DISTINCT substr(text, 1, 10)) AS BIGINT) AS n
             FROM documents
@@ -1823,7 +1842,11 @@ def oracle_sql() -> dict[str, str]:
                                                  c -> CAST(ascii(c) AS BIGINT))),
                                 (a, b) -> (a * 257 + b) % 2147483647)
                        )),
-                     (a, b) -> (a * 1000003 + b) % 2147483647) AS fp
+                     (a, b) -> (a * 1000003 + b) % 2147483647) AS fp,
+                   CAST(CASE WHEN (doc_id // 50) % 3 = 1
+                             THEN ((doc_id // 50) - 1) * 50
+                             ELSE (doc_id // 50) * 50 END AS BIGINT)
+                     AS comp_label
             FROM documents
         """,
         "q_embed_neardup": """

@@ -176,17 +176,13 @@ def _robots_denied(df: pd.DataFrame, robots: dict) -> np.ndarray:
 LINK_ORD_SCALE = 1 << 20
 
 
-@ray.remote(num_cpus=0.5, num_returns=4)
-def _project_round_blocks(prio_lookup, *tables: pa.Table):
-    """Round projection over a GROUP of pinned extracted blocks, run
-    REMOTELY next to the data: returns (fetched-url table,
-    discovered-link table, raw link count, kept link count) as FOUR
-    separate refs — the driver always pulls the small url table and the
-    two counts, but the link table ref is only pulled in driver
-    admission mode; distributed admission feeds the refs straight into
-    ``ray.data.from_arrow_refs`` so the link volume never crosses the
-    driver. Blocks are grouped several-per-task so the per-round task
-    count (and its scheduling latency) stays small.
+def _project_tables(prio_lookup, *tables: pa.Table):
+    """Round projection core over extracted tables: returns
+    (fetched-url table, deduped link table, raw link count, kept link
+    count). Shared by the remote block projection
+    (:func:`_project_round_blocks`, scan/http fetch modes) and the
+    fused fetch→extract→project chunk task
+    (:func:`_extract_project_chunk`, store mode).
 
     The link table carries its admission sort key ``ordv`` and the
     child ``priority`` (0.5 × parent priority, resolved here from the
@@ -238,6 +234,46 @@ def _project_round_blocks(prio_lookup, *tables: pa.Table):
         first = ~pd.Series(keys).duplicated().to_numpy()
         link_t = link_t.take(pa.array(order[first], pa.int64()))
     return got_t, link_t, n_raw, link_t.num_rows
+
+
+@ray.remote(num_cpus=0.5, num_returns=4)
+def _project_round_blocks(prio_lookup, *tables: pa.Table):
+    """Remote wrapper over :func:`_project_tables` for a GROUP of
+    pinned extracted blocks (scan/http fetch modes): the driver always
+    pulls the small url table and the two counts, but the link table
+    ref is only pulled in driver admission mode; distributed admission
+    feeds the refs straight into ``ray.data.from_arrow_refs`` so the
+    link volume never crosses the driver. Blocks are grouped
+    several-per-task so the per-round task count (and its scheduling
+    latency) stays small."""
+    return _project_tables(prio_lookup, *tables)
+
+
+@ray.remote(num_cpus=1, num_returns=5)
+def _extract_project_chunk(stage, prio_lookup, batch_size: int, pages: pa.Table):
+    """FUSED fetch-chunk worker (store mode): one plain task takes a
+    page-store chunk (its ref resolves as the task arg, so extraction
+    starts the moment the shard's fetch lands — no Dataset execution,
+    no block accounting, no separate projection wave), parses it in
+    ``batch_size`` slices (the wide-binary-row bound the map_batches
+    path used), and projects the result in-place. Returns (extracted
+    table, fetched-url table, link table, raw link count, kept link
+    count) as FIVE refs — the extracted ref feeds only the write
+    tasks; the driver pulls urls + counts; link refs follow the
+    admission mode exactly like the block-projection path.
+
+    This is VERDICT r4 #2: the per-round serial path previously paid a
+    full Dataset execution (extract) plus a blocking projection wave —
+    two chained fixed costs a short round cannot amortize."""
+    parts = [
+        stage(pages.slice(off, batch_size))
+        for off in range(0, pages.num_rows, batch_size)
+    ]
+    if not parts:
+        parts = [stage(pages)]  # empty chunk: typed empty table
+    ext = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+    got_t, link_t, n_raw, n_kept = _project_tables(prio_lookup, ext)
+    return ext, got_t, link_t, n_raw, n_kept
 
 
 @ray.remote(num_cpus=1)
@@ -391,6 +427,7 @@ class CrawlRun:
         self.robots = dict(zip(pol["host"], pol["robots_disallow_prefix"]))
         self.default_budget = cc.default_host_budget
         self._stage: ExtractStage | None = None
+        self._stage_put = None  # ray.put(ExtractStage), once per run
         self._pending_commit: tuple | None = None
         self.phase_times: list[dict] = []
         # round-pipelining state: the in-flight backlog pre-selection
@@ -406,6 +443,14 @@ class CrawlRun:
         if self._stage is None:
             self._stage = ExtractStage(self.settings)
         return self._stage
+
+    def _stage_ref(self):
+        """The extract stage in the object store, put ONCE per run —
+        every fused chunk task reads the same copy (no per-task
+        registry pickle)."""
+        if self._stage_put is None:
+            self._stage_put = ray.put(self._extract_stage())
+        return self._stage_put
 
     # ---------------- paths ----------------
     def _p(self, *parts: str) -> str:
@@ -689,6 +734,13 @@ class CrawlRun:
         return winners, os.path.join(sel_dir, "cand=false"), n_denied
 
     # ---------------- fetch ----------------
+    @staticmethod
+    def _fetch_meta(winners: pd.DataFrame, rnd: int) -> pd.DataFrame:
+        meta = winners[["canonical_url", "surrogate", "seq", "priority"]].rename(
+            columns={"canonical_url": "url"}
+        )
+        return meta.assign(round=np.int64(rnd))
+
     def _fetch(self, winners: pd.DataFrame, rnd: int) -> "ray.data.Dataset":
         """Simulated network fetch (S3,
         ``/root/reference/src/file_downloader.rs:8-29``): O(K) lookups
@@ -696,10 +748,7 @@ class CrawlRun:
         loaded ONCE per crawl — never a per-round corpus scan. Fallback
         ``fetch_mode="scan"`` keeps the one-shot ``isin``-pushdown read
         for store-less runs."""
-        meta = winners[["canonical_url", "surrogate", "seq", "priority"]].rename(
-            columns={"canonical_url": "url"}
-        )
-        meta = meta.assign(round=np.int64(rnd))
+        meta = self._fetch_meta(winners, rnd)
 
         if self.fetch_mode == "http":
             # the real-network tier (stages/fetch.py): task-pool fetch
@@ -747,6 +796,12 @@ class CrawlRun:
 
             return pages.map_batches(attach, batch_format="pandas")
 
+        return ray.data.from_arrow_refs(self._fetch_store_refs(meta))
+
+    def _fetch_store_refs(self, meta: pd.DataFrame) -> list:
+        """Store-mode fetch as a list of chunk REFS (one per shard
+        chunk) — the fused round path feeds each straight into an
+        :func:`_extract_project_chunk` task without a Dataset."""
         if self._page_store is None:
             from ..state.page_store import get_page_store
 
@@ -787,7 +842,7 @@ class CrawlRun:
                         meta_t.take(pa.array(chunk, pa.int64())),
                     )
                 )
-        return ray.data.from_arrow_refs(refs)
+        return refs
 
     # ---------------- one round ----------------
     def _round(self, rnd: int) -> bool:
@@ -911,31 +966,6 @@ class CrawlRun:
         phase_t["select"] = _now() - t0
         t0 = _now()
         if not winners.empty:
-            fetched = self._fetch(winners, rnd)
-            # ONE parse execution per round, pinned via materialize();
-            # the parquet write and the links / fetched-url projections
-            # below re-read the pinned blocks — no reparse, and no
-            # driver read-back of hundreds of small part files (which
-            # measurably anti-scaled with cluster size).
-            extracted = fetched.map_batches(
-                self._extract_stage(),
-                batch_format="pyarrow",
-                batch_size=cc.batch_size,
-            ).materialize()
-            phase_t["extract"] = _now() - t0
-            t0 = _now()
-
-            # Remote grouped projections straight off the pinned
-            # blocks: plain Ray tasks (no second Dataset execution —
-            # each execution's flat startup cost was a measured
-            # per-round tax), and the driver receives ONLY the small
-            # (url, link) projections, never the full extracted blocks.
-            # Submitted BEFORE the parquet write so the two consumers
-            # of the pinned blocks overlap; collected after it.
-            blocks = []
-            for bundle in extracted.iter_internal_ref_bundles():
-                for block_ref in bundle.block_refs:
-                    blocks.append(block_ref)
             # winner (seq → priority) lookup for child-link priorities,
             # sorted for the projections' searchsorted; put ONCE per
             # round (top-level ObjectRef args auto-deref in the task)
@@ -946,22 +976,73 @@ class CrawlRun:
                     winners["priority"].to_numpy()[worder],
                 )
             )
-            futs = [
-                _project_round_blocks.remote(prio_ref, *blocks[i : i + 8])
-                for i in range(0, len(blocks), 8)
-            ]
-            # futs: per task [got_ref, link_ref, n_raw_ref, n_kept_ref].
-            # Pull the (politeness-bounded) url tables and the two
-            # counts; link refs stay in the object store until the
-            # admission mode is resolved. The driver BLOCKS here, so
-            # the projections own the whole cluster — the CPU-heavy
-            # zstd write tasks are submitted only after they resolve.
-            got_tbls = [g for g in ray.get([f[0] for f in futs]) if g.num_rows]
-            link_refs = [f[1] for f in futs]
-            n_links_raw = sum(ray.get([f[2] for f in futs]))
-            n_links_kept = sum(ray.get([f[3] for f in futs]))
-            phase_t["project"] = _now() - t0
-            t0 = _now()
+            if self.fetch_mode == "store":
+                # FUSED path (VERDICT r4 #2): each page-store chunk ref
+                # feeds one plain _extract_project_chunk task — fetch →
+                # extract → project pipeline per chunk with NO Dataset
+                # execution and no separate projection wave; the two
+                # chained fixed costs of the old path (execution
+                # startup + blocking projection round trip) are gone.
+                fetch_refs = self._fetch_store_refs(
+                    self._fetch_meta(winners, rnd)
+                )
+                futs = [
+                    _extract_project_chunk.remote(
+                        self._stage_ref(), prio_ref, cc.batch_size, ref
+                    )
+                    for ref in fetch_refs
+                ]
+                blocks = [f[0] for f in futs]
+                got_tbls = [
+                    g for g in ray.get([f[1] for f in futs]) if g.num_rows
+                ]
+                link_refs = [f[2] for f in futs]
+                n_links_raw = sum(ray.get([f[3] for f in futs]))
+                n_links_kept = sum(ray.get([f[4] for f in futs]))
+                phase_t["extract"] = _now() - t0  # fused fetch+extract
+                t0 = _now()
+                phase_t["project"] = 0.0  # fused into extract above
+            else:
+                fetched = self._fetch(winners, rnd)
+                # ONE parse execution per round, pinned via
+                # materialize(); the parquet write and the links /
+                # fetched-url projections below re-read the pinned
+                # blocks — no reparse, and no driver read-back of
+                # hundreds of small part files (which measurably
+                # anti-scaled with cluster size).
+                extracted = fetched.map_batches(
+                    self._extract_stage(),
+                    batch_format="pyarrow",
+                    batch_size=cc.batch_size,
+                ).materialize()
+                phase_t["extract"] = _now() - t0
+                t0 = _now()
+
+                # Remote grouped projections straight off the pinned
+                # blocks: plain Ray tasks (no second Dataset execution —
+                # each execution's flat startup cost was a measured
+                # per-round tax), and the driver receives ONLY the small
+                # (url, link) projections, never the full extracted
+                # blocks. The driver BLOCKS on the counts, so the
+                # projections own the whole cluster — the CPU-heavy
+                # zstd write tasks are submitted only after they
+                # resolve.
+                blocks = []
+                for bundle in extracted.iter_internal_ref_bundles():
+                    for block_ref in bundle.block_refs:
+                        blocks.append(block_ref)
+                futs = [
+                    _project_round_blocks.remote(prio_ref, *blocks[i : i + 8])
+                    for i in range(0, len(blocks), 8)
+                ]
+                got_tbls = [
+                    g for g in ray.get([f[0] for f in futs]) if g.num_rows
+                ]
+                link_refs = [f[1] for f in futs]
+                n_links_raw = sum(ray.get([f[2] for f in futs]))
+                n_links_kept = sum(ray.get([f[3] for f in futs]))
+                phase_t["project"] = _now() - t0
+                t0 = _now()
             # Writes leave the critical path entirely: grouped write
             # tasks (8 blocks each — a handful of concurrent zstd
             # writers; 64 snappy writers measurably thrashed the ONE

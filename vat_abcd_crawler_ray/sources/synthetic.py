@@ -40,6 +40,10 @@ import pyarrow.parquet as pq
 
 CACHE_ROOT = "/tmp/vat_ray_cache"
 
+# part files per replicated bench table: ≈ 2× the largest bench CPU
+# level, so parquet decode parallelizes at file granularity
+_BENCH_TABLE_FILES = 64
+
 MEGA_HOST = "mega.example.org"
 MISSING_HOST = "missing.example.org"
 ROBOTS_DISALLOW_PREFIX = "/private/"
@@ -336,10 +340,31 @@ def _replicate_tables(sf_dir: str, out: str, doc_factor: int,
       offset ``vec_id``.
     - ``lineitem``: replicated as-is (the grouped-agg result is the
       same 6 groups at any factor).
+
+    Each table is a MULTI-FILE directory (~``_BENCH_TABLE_FILES``
+    parts): a single saturated file collapses the read to 1-2 decode
+    tasks, and SCALING_r4 showed the knn/agg "anti-scaling" was that
+    serialized parquet DECODE of a single file, not the operators
+    (VERDICT r4 #6). File-granular parts give every parallelism level
+    real decode parallelism.
     """
     import pandas as pd
 
     os.makedirs(out, exist_ok=True)
+
+    def write_parts(frames: list, table: str, row_group_size: int) -> None:
+        """Concatenate ``frames`` into ≈_BENCH_TABLE_FILES part files
+        (consecutive frames per part, order preserved)."""
+        d = os.path.join(out, f"{table}.parquet")
+        os.makedirs(d, exist_ok=True)
+        per = max(1, (len(frames) + _BENCH_TABLE_FILES - 1) // _BENCH_TABLE_FILES)
+        fi = 0
+        for s in range(0, len(frames), per):
+            pd.concat(frames[s : s + per], ignore_index=True).to_parquet(
+                os.path.join(d, f"part-{fi:05d}.parquet"),
+                row_group_size=row_group_size,
+            )
+            fi += 1
 
     docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     id_span = int(docs["doc_id"].max()) + 1
@@ -350,9 +375,7 @@ def _replicate_tables(sf_dir: str, out: str, doc_factor: int,
         if r:
             d["text"] = d["text"] + f" rep{r}"
         reps.append(d)
-    pd.concat(reps, ignore_index=True).to_parquet(
-        os.path.join(out, "documents.parquet"), row_group_size=1 << 14
-    )
+    write_parts(reps, "documents", 1 << 14)
 
     emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     vspan = int(emb["vec_id"].max()) + 1
@@ -363,14 +386,10 @@ def _replicate_tables(sf_dir: str, out: str, doc_factor: int,
         e["vec_id"] = e["vec_id"] + r * vspan
         e["embedding"] = list(np.roll(mat, r, axis=1))
         reps.append(e)
-    pd.concat(reps, ignore_index=True).to_parquet(
-        os.path.join(out, "embeddings.parquet"), row_group_size=1 << 14
-    )
+    write_parts(reps, "embeddings", 1 << 14)
 
     li = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    pd.concat([li] * li_factor, ignore_index=True).to_parquet(
-        os.path.join(out, "lineitem.parquet"), row_group_size=1 << 17
-    )
+    write_parts([li] * li_factor, "lineitem", 1 << 17)
 
 
 def bench_tables_dir(sf_dir: str, cache_root: str = CACHE_ROOT,
@@ -379,8 +398,9 @@ def bench_tables_dir(sf_dir: str, cache_root: str = CACHE_ROOT,
     """Generate-once cache for the replicated bench tables (same atomic
     rename protocol as ``corpus_dir``)."""
     sf_dir = os.path.abspath(sf_dir)
+    # `m` suffix: multi-file layout — never reuse a stale single-file cache
     key = (sf_dir.strip("/").replace("/", "_")
-           + f"_tables_d{doc_factor}_e{emb_factor}_l{li_factor}")
+           + f"_tables_d{doc_factor}_e{emb_factor}_l{li_factor}m")
     out = os.path.join(cache_root, key)
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):

@@ -101,6 +101,16 @@ class HttpFetchStage:
         self.backoff_base_s = backoff_base_s
         self.max_concurrency = max(1, max_concurrency)
         self.per_host_delay_s = per_host_delay_s
+        # one pool per stage INSTANCE, built lazily on first use and
+        # reused across every batch the worker processes (a pool per
+        # batch re-spawned max_concurrency threads per 256 rows);
+        # dropped on pickle — each Ray worker rebuilds its own
+        self._pool = None
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_pool"] = None  # thread pools don't serialize
+        return state
 
     def _fetch_one(self, url: str) -> tuple[bytes | None, int, int, str | None]:
         """→ (body | None, last_status, attempts, error_message | None)."""
@@ -120,9 +130,14 @@ class HttpFetchStage:
                 time.sleep(self.backoff_base_s * (2 ** (attempt - 1)))
         return None, status, self.max_attempts, err
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _get_pool(self):
         from concurrent.futures import ThreadPoolExecutor
 
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=self.max_concurrency)
+        return self._pool
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.urlkeys import hosts_batch
 
         urls = batch["url"].to_pylist()
@@ -144,10 +159,7 @@ class HttpFetchStage:
         if len(groups) > 1 and self.max_concurrency > 1:
             # distinct list slots per thread: no cross-thread writes to
             # the same index, so no lock is needed on `results`
-            with ThreadPoolExecutor(
-                max_workers=min(self.max_concurrency, len(groups))
-            ) as pool:
-                list(pool.map(fetch_host, groups))
+            list(self._get_pool().map(fetch_host, groups))
         else:
             for g in groups:
                 fetch_host(g)
