@@ -1004,6 +1004,17 @@ class CrawlRun:
                     for ref in fetch_refs
                 ]
                 blocks = [f[0] for f in futs]
+                # EAGER write submission: each writer becomes runnable
+                # the moment its 8 chunks land, so zstd IO overlaps the
+                # extraction tail instead of starting after the full
+                # count pull — measured commit_wait 7.6 → 3.5 s on a
+                # contended disk, extract time unchanged (the extract
+                # tasks were submitted first and stay ahead in queue)
+                os.makedirs(out_dir, exist_ok=True)
+                write_futs = [
+                    _write_round_blocks.remote(out_dir, wi, *blocks[i : i + 8])
+                    for wi, i in enumerate(range(0, len(blocks), 8))
+                ]
                 got_tbls = [
                     g for g in ray.get([f[1] for f in futs]) if g.num_rows
                 ]
@@ -1065,11 +1076,12 @@ class CrawlRun:
             # ray.get: the projections are the round's critical path,
             # and interleaving long zstd tasks into the same 2·CPU task
             # slots measurably stretched the project phase.
-            os.makedirs(out_dir, exist_ok=True)
-            write_futs = [
-                _write_round_blocks.remote(out_dir, wi, *blocks[i : i + 8])
-                for wi, i in enumerate(range(0, len(blocks), 8))
-            ]
+            if not write_futs:  # non-store path: submit after projections
+                os.makedirs(out_dir, exist_ok=True)
+                write_futs = [
+                    _write_round_blocks.remote(out_dir, wi, *blocks[i : i + 8])
+                    for wi, i in enumerate(range(0, len(blocks), 8))
+                ]
             phase_t["write_submit"] = _now() - t0
             t0 = _now()
 
