@@ -264,7 +264,43 @@ class TestOps:
         got = dict(zip(ds["node"], ds["label"]))
         assert got == drv
 
-    def test_topk_per_key(self):
+    def test_min_label_components_single_upstream_execution(self):
+        """VERDICT r4 #3/#4: the edge plan must execute ONCE — the old
+        count-then-consume pattern ran the (expensive dedup-verify)
+        upstream twice. A counting actor inside the edge pipeline
+        observes how many times each input block is processed."""
+        import ray
+
+        from vat_abcd_crawler_ray.ops.components import min_label_components
+
+        @ray.remote
+        class Counter:
+            def __init__(self):
+                self.n = 0
+
+            def incr(self, k: int) -> None:
+                self.n += k
+
+            def get(self) -> int:
+                return self.n
+
+        counter = Counter.remote()
+        edges = pd.DataFrame(
+            {"src": np.arange(0, 99), "dst": np.arange(1, 100)}
+        )
+        n_parts = 4
+        src = rd.from_pandas(edges).repartition(n_parts)
+
+        def count_rows(t):
+            ray.get(counter.incr.remote(t.num_rows))
+            return t
+
+        out = min_label_components(
+            src.map_batches(count_rows, batch_format="pyarrow")
+        ).to_pandas()
+        assert (out["label"] == 0).all() and len(out) == 100
+        # every edge row flowed through the counting stage exactly once
+        assert ray.get(counter.get.remote()) == len(edges)
         rows = [
             {"host": f"h{i % 4}", "priority": (i * 7) % 13, "seq": i}
             for i in range(100)
