@@ -1,0 +1,134 @@
+"""CLI subcommand tests (SURVEY §2.8 user surface).
+
+The ``dedup`` / ``textstats`` subcommands are the batch front door to
+the LLM-pipeline operators the oracle queries gate; these tests drive
+``cli.main`` in-process (the commands join the session fixture's Ray
+session and must NOT tear it down — `_init_ray` ownership contract)
+and check the written parquet against the library pipelines called
+directly.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from vat_abcd_crawler_ray import cli
+
+
+def _docs_frame(n: int = 120) -> pd.DataFrame:
+    words = ["the", "quick", "brown", "fox", "jumps", "over", "lazy",
+             "dog", "and", "runs", "far", "away", "home", "again"]
+    rng = np.random.default_rng(7)
+    texts = []
+    for i in range(n):
+        if i % 10 == 3:  # exact duplicate of the previous doc
+            texts.append(texts[-1])
+        else:
+            k = 8 + int(rng.integers(0, 12))
+            texts.append(" ".join(words[int(j) % len(words)]
+                                  for j in rng.integers(0, len(words), k)))
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "text": texts})
+
+
+@pytest.fixture(scope="module")
+def docs_parquet(tmp_path_factory):
+    path = tmp_path_factory.mktemp("cli_docs") / "documents.parquet"
+    _docs_frame().to_parquet(path, index=False)
+    return str(path)
+
+
+def _read_dir(out_dir: str) -> pd.DataFrame:
+    parts = sorted(glob.glob(out_dir + "/*.parquet"))
+    assert parts, f"no parquet written under {out_dir}"
+    return pd.concat([pq.read_table(p).to_pandas() for p in parts],
+                     ignore_index=True)
+
+
+@pytest.mark.parametrize("method", ["exact", "minhash", "simhash"])
+def test_cli_dedup_matches_library(method, docs_parquet, tmp_path,
+                                   capsys, ray_session):
+    import ray.data
+
+    out = str(tmp_path / f"out_{method}")
+    rc = cli.main(["dedup", "--input", docs_parquet, "--out", out,
+                   "--method", method])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = _read_dir(out)
+
+    from vat_abcd_crawler_ray.pipelines import dedup as dd
+
+    ds = ray.data.read_parquet(docs_parquet)
+    if method == "exact":
+        want = dd.exact_dedup(ds).to_pandas()
+    elif method == "minhash":
+        want = dd.minhash_lsh_dedup(ds).to_pandas()
+    else:
+        want = dd.simhash_dedup(ds).to_pandas()
+
+    assert report["rows_in"] == 120
+    assert report["rows_kept"] == len(got) == len(want)
+    assert report["rows_removed"] == 120 - len(want)
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    # kept rows retain the full input schema
+    assert {"doc_id", "text"} <= set(got.columns)
+    # the exact-duplicate plants guarantee something was removed
+    assert report["rows_removed"] > 0
+
+
+def test_cli_dedup_exact_key_len(docs_parquet, tmp_path, capsys,
+                                 ray_session):
+    import ray.data
+
+    out = str(tmp_path / "out_prefix")
+    rc = cli.main(["dedup", "--input", docs_parquet, "--out", out,
+                   "--method", "exact", "--key-len", "8"])
+    assert rc == 0
+    got = _read_dir(out)
+
+    from vat_abcd_crawler_ray.pipelines import dedup as dd
+
+    want = dd.exact_dedup(ray.data.read_parquet(docs_parquet),
+                          key_len=8).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_cli_textstats_matches_library(docs_parquet, tmp_path, capsys,
+                                       ray_session):
+    out = str(tmp_path / "out_ts")
+    rc = cli.main(["textstats", "--input", docs_parquet, "--out", out])
+    assert rc == 0
+    got = _read_dir(out).sort_values("doc_id").reset_index(drop=True)
+
+    from vat_abcd_crawler_ray.functions import textstats as ts
+
+    src = pd.read_parquet(docs_parquet).sort_values("doc_id")
+    texts = src["text"].reset_index(drop=True)
+    assert list(got["doc_id"]) == list(src["doc_id"])
+    assert list(got["lang_pred"]) == list(ts.langid(texts))
+    np.testing.assert_array_equal(got["n_tokens"].to_numpy(),
+                                  np.asarray(ts.token_count(texts)))
+    np.testing.assert_array_equal(got["fp"].to_numpy(),
+                                  np.asarray(ts.fingerprint(texts)))
+    q = ts.quality_features(texts)
+    for col in q.columns:
+        np.testing.assert_allclose(got[col].to_numpy(),
+                                   q[col].to_numpy(), rtol=1e-12)
+
+
+def test_cli_leaves_session_alive(docs_parquet, tmp_path, capsys,
+                                  ray_session):
+    """Commands joining an existing Ray session must not shut it down."""
+    import ray
+
+    assert ray.is_initialized()
+    cli.main(["textstats", "--input", docs_parquet,
+              "--out", str(tmp_path / "ts2")])
+    assert ray.is_initialized()

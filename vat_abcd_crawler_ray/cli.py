@@ -13,17 +13,29 @@ import os
 import sys
 
 
-def _init_ray(num_cpus: int | None) -> None:
+def _init_ray(num_cpus: int | None) -> bool:
+    """Start a local Ray session if none is live. Returns True iff this
+    call started it (the caller then owns the shutdown); joining an
+    already-running session must NOT tear it down on exit."""
     import ray
 
-    if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+    if ray.is_initialized():
+        return False
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    return True
+
+
+def _shutdown_ray(owned: bool) -> None:
+    import ray
+
+    if owned:
+        ray.shutdown()
 
 
 def cmd_crawl(args: argparse.Namespace) -> int:
@@ -33,7 +45,7 @@ def cmd_crawl(args: argparse.Namespace) -> int:
     from .pipelines.crawl import CrawlRun
     from .pipelines.tables import write_all_tables
 
-    _init_ray(args.num_cpus)
+    owned = _init_ray(args.num_cpus)
     settings = load_settings(args.settings)
     run = CrawlRun(
         args.pages, args.seeds, args.politeness, args.out, settings=settings,
@@ -47,7 +59,7 @@ def cmd_crawl(args: argparse.Namespace) -> int:
         write_all_tables(args.out, os.path.join(args.out, "tables"))
     json.dump(metrics.as_dict(), sys.stdout, default=str)
     print()
-    ray.shutdown()
+    _shutdown_ray(owned)
     return 0
 
 
@@ -71,11 +83,11 @@ def cmd_tables(args: argparse.Namespace) -> int:
 
     from .pipelines.tables import write_all_tables
 
-    _init_ray(args.num_cpus)
+    owned = _init_ray(args.num_cpus)
     paths = write_all_tables(args.run_dir, args.out)
     json.dump(paths, sys.stdout)
     print()
-    ray.shutdown()
+    _shutdown_ray(owned)
     return 0
 
 
@@ -84,11 +96,94 @@ def cmd_gpkg(args: argparse.Namespace) -> int:
 
     from .pipelines.gpkg import units_gpkg
 
-    _init_ray(args.num_cpus)
+    owned = _init_ray(args.num_cpus)
     stats = units_gpkg(args.run_dir, args.out, layer=args.layer)
     json.dump(stats, sys.stdout)
     print()
-    ray.shutdown()
+    _shutdown_ray(owned)
+    return 0
+
+
+def cmd_dedup(args: argparse.Namespace) -> int:
+    """Training-data dedup over a parquet documents table → kept rows
+    as partitioned parquet (the LLM-pipeline front door: the same
+    operators queries()/oracles gate, wired for batch use)."""
+    import ray
+    import ray.data
+
+    from .pipelines import dedup as dd
+
+    owned = _init_ray(args.num_cpus)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    ds = ray.data.read_parquet(
+        args.input, columns=None, override_num_blocks=ncpu * 2
+    )
+    n_in = ds.count()
+    if args.method == "exact":
+        kept = dd.exact_dedup(
+            ds, text_col=args.text_col, id_col=args.id_col,
+            key_len=args.key_len or None,
+        )
+    elif args.method == "minhash":
+        kept = dd.minhash_lsh_dedup(
+            ds, text_col=args.text_col, id_col=args.id_col,
+            threshold=args.threshold,
+        )
+    else:  # simhash
+        kept = dd.simhash_dedup(
+            ds, text_col=args.text_col, id_col=args.id_col,
+            hamming_max=args.hamming_max,
+        )
+    kept.write_parquet(args.out)
+    # count from the written footers, not a second pipeline run
+    import pyarrow.parquet as pq
+
+    n_out = sum(
+        pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
+        for f in os.listdir(args.out)
+        if f.endswith(".parquet")
+    )
+    json.dump(
+        {"method": args.method, "rows_in": n_in, "rows_kept": n_out,
+         "rows_removed": n_in - n_out, "out": args.out},
+        sys.stdout,
+    )
+    print()
+    _shutdown_ray(owned)
+    return 0
+
+
+def cmd_textstats(args: argparse.Namespace) -> int:
+    """Per-document text analysis (langid / quality / token stats /
+    fingerprint) over a parquet documents table → parquet."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from .functions import textstats as ts
+
+    owned = _init_ray(args.num_cpus)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    ds = ray.data.read_parquet(
+        args.input, columns=[args.id_col, args.text_col],
+        override_num_blocks=ncpu * 2,
+    )
+    id_col, text_col = args.id_col, args.text_col
+
+    def featurize(df: pd.DataFrame) -> pd.DataFrame:
+        out = {id_col: df[id_col]}
+        out["lang_pred"] = ts.langid(df[text_col])
+        q = ts.quality_features(df[text_col])
+        out.update({k: q[k] for k in q.columns})
+        tc = ts.token_count(df[text_col])
+        out["n_tokens"] = tc
+        out["fp"] = ts.fingerprint(df[text_col])
+        return pd.DataFrame(out)
+
+    ds.map_batches(featurize, batch_format="pandas").write_parquet(args.out)
+    json.dump({"out": args.out}, sys.stdout)
+    print()
+    _shutdown_ray(owned)
     return 0
 
 
@@ -141,6 +236,36 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--layer", default="out")
     g.add_argument("--num-cpus", type=int, default=None)
     g.set_defaults(fn=cmd_gpkg)
+
+    d = sub.add_parser(
+        "dedup",
+        help="deduplicate a parquet documents table (exact / minhash / simhash)",
+    )
+    d.add_argument("--input", required=True, help="documents parquet file/dir")
+    d.add_argument("--out", required=True, help="output parquet dir (kept rows)")
+    d.add_argument("--method", default="minhash",
+                   choices=["exact", "minhash", "simhash"])
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--key-len", type=int, default=0,
+                   help="exact: dedup on a text prefix of this length (0=full)")
+    d.add_argument("--threshold", type=float, default=0.8,
+                   help="minhash: Jaccard verify threshold")
+    d.add_argument("--hamming-max", type=int, default=3,
+                   help="simhash: max Hamming distance")
+    d.add_argument("--num-cpus", type=int, default=None)
+    d.set_defaults(fn=cmd_dedup)
+
+    x = sub.add_parser(
+        "textstats",
+        help="per-document langid/quality/token/fingerprint features → parquet",
+    )
+    x.add_argument("--input", required=True)
+    x.add_argument("--out", required=True)
+    x.add_argument("--text-col", default="text")
+    x.add_argument("--id-col", default="doc_id")
+    x.add_argument("--num-cpus", type=int, default=None)
+    x.set_defaults(fn=cmd_textstats)
 
     args = p.parse_args(argv)
     return args.fn(args)
