@@ -96,3 +96,134 @@ def test_decode_stages_dead_letter_corrupt_blobs():
     assert out["n_samples"].to_pylist() == [3, None, None]
     errs = out["audio_decode_error"].to_pylist()
     assert errs[0] is None and errs[1] and errs[2]
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib-zlib real compressed-format decoder)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter(filter_type):
+    """encode_png writes truly FILTERED scanlines, so a round trip
+    exercises the decoder's unfilter branch against known pixels."""
+    from vat_abcd_crawler_ray.functions.codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(11 + filter_type)
+    img = rng.randint(0, 256, (17, 23, 3), dtype=np.uint8)
+    data = encode_png(img, filter_type=filter_type)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert (decode_png(data) == img).all()
+    # gradients stress the predictor filters far more than noise
+    grad = (
+        np.arange(19)[:, None, None] * 7
+        + np.arange(31)[None, :, None] * 3
+        + np.arange(3)[None, None, :]
+    ).astype(np.uint8)
+    assert (decode_png(encode_png(grad, filter_type=filter_type)) == grad).all()
+
+
+def test_png_gray_palette_alpha_normalize_to_rgb():
+    import struct
+    import zlib
+
+    from vat_abcd_crawler_ray.functions.codecs import decode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, color_type, raw, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    # gray (type 0): 2x2, values 0..3
+    img = decode_png(png(2, 2, 0, b"\x00\x00\x01" + b"\x00\x02\x03"))
+    assert img.shape == (2, 2, 3)
+    assert (img[:, :, 0] == img[:, :, 2]).all()
+    assert img[1, 1, 0] == 3
+    # palette (type 3): indices into a 2-entry palette
+    img = decode_png(
+        png(2, 1, 3, b"\x00\x01\x00", plte=b"\x10\x20\x30\x40\x50\x60")
+    )
+    assert img.tolist() == [[[0x40, 0x50, 0x60], [0x10, 0x20, 0x30]]]
+    # gray+alpha (type 4) and RGBA (type 6): alpha dropped
+    img = decode_png(png(1, 1, 4, b"\x00\x07\xff"))
+    assert img.tolist() == [[[7, 7, 7]]]
+    img = decode_png(png(1, 1, 6, b"\x00\x01\x02\x03\x80"))
+    assert img.tolist() == [[[1, 2, 3]]]
+    # out-of-range palette index is data corruption, not a crash
+    with pytest.raises(ValueError):
+        decode_png(png(1, 1, 3, b"\x00\x05", plte=b"\x00\x00\x00"))
+
+
+def test_png_rejects_malformed():
+    import struct
+    import zlib
+
+    from vat_abcd_crawler_ray.functions.codecs import decode_png, encode_png
+
+    good = encode_png(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(ValueError):
+        decode_png(b"P6\n1 1\n255\n\x00\x00\x00")  # not a PNG
+    with pytest.raises(ValueError):
+        decode_png(good[:30])  # truncated mid-chunk
+    # flip one IDAT payload byte -> CRC mismatch, loud failure
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT")
+    bad[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    # Adam7 interlace: declared unsupported, not silently wrong
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+    chunks = (
+        struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    body = zlib.compress(b"\x00\x00\x00\x00")
+    chunks += (
+        struct.pack(">I", len(body))
+        + b"IDAT"
+        + body
+        + struct.pack(">I", zlib.crc32(b"IDAT" + body) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunks)
+
+
+def test_decode_image_stage_png_path():
+    """The actor-pool stage decodes real PNG bytes and dead-letters
+    corrupt ones, same soft-error contract as the ppm path."""
+    import pyarrow as pa
+
+    from vat_abcd_crawler_ray.functions.codecs import encode_png
+    from vat_abcd_crawler_ray.stages.multimodal import DecodeImageStage
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "media": pa.array(
+                [encode_png(img, filter_type=4), b"corrupt", None],
+                pa.binary(),
+            ),
+        }
+    )
+    out = DecodeImageStage(out_hw=(8, 8), decoder="png")(batch)
+    errs = out["image_decode_error"].to_pylist()
+    assert errs[0] is None and errs[1] is not None and errs[2] is not None
+    assert out["src_height"].to_pylist() == [16, 0, 0]
+    px = np.asarray(out["pixels"][0].as_py(), dtype=np.uint8).reshape(8, 8, 3)
+    from vat_abcd_crawler_ray.functions.codecs import resize_nearest
+
+    assert (px == resize_nearest(img, (8, 8))).all()

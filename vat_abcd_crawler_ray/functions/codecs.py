@@ -3,14 +3,19 @@ container formats that need no external library:
 
 - PPM (P6) / PGM (P5) binary images: header parse + ``np.frombuffer``
   pixel load; grayscale expands to 3 channels.
+- PNG (bit depth 8, color types 0/2/3/4/6, non-interlaced): chunk
+  walk with CRC verification, stdlib-zlib inflate, numpy per-row
+  unfilter of all five spec filters — a REAL compressed-format
+  decoder with no external library.
 - WAV RIFF PCM-16: chunk walk + sample load.
 - nearest-neighbor resize via strided index sampling.
 
 These give the multimodal stages (stages/multimodal.py) a genuine
-bytes→pixels/samples path in this container; compressed formats
-(JPEG/PNG/MP3/MP4) still require PIL/ffmpeg and stay behind the
-documented ``decoder="real"`` seam. Encoders are included so tests and
-oracle-gated queries can synthesize deterministic media.
+bytes→pixels/samples path in this container; the remaining
+entropy-coded formats (JPEG/MP3/MP4) still require PIL/ffmpeg and
+stay behind the documented ``decoder="real"`` seam. Encoders are
+included so tests and oracle-gated queries can synthesize
+deterministic media.
 """
 
 from __future__ import annotations
@@ -127,3 +132,192 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("missing fmt/data chunk")
     s = np.frombuffer(raw, dtype=np.int16)
     return s.reshape(-1, channels), sample_rate
+
+
+# ---------------------------------------------------------------------------
+# PNG (RFC 2083 / W3C PNG spec) — a REAL compressed-format decoder:
+# zlib inflate is in the stdlib, so PNG needs no external library.
+# Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
+# 4 (gray+alpha), 6 (RGBA), non-interlaced. JPEG/MP4 remain the
+# documented PIL/ffmpeg seam (entropy coding + DCT are out of scope
+# for a stdlib decoder).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 → PNG bytes (color type 2, bit depth 8).
+
+    ``filter_type`` picks the per-row filter (0 none, 1 sub, 2 up,
+    3 average, 4 paeth) so tests can exercise every unfilter branch of
+    :func:`decode_png` against known pixels; real encoders choose per
+    row, which changes size, not semantics."""
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    assert c == 3, "encode_png expects (h, w, 3)"
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for r in range(h):
+        line = img[r].reshape(-1).astype(np.int32)
+        left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if filter_type == 0:
+            filt = line
+        elif filter_type == 1:
+            filt = line - left
+        elif filter_type == 2:
+            filt = line - prev
+        elif filter_type == 3:
+            filt = line - (left + prev) // 2
+        elif filter_type == 4:
+            p = left + prev - ul
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prev, ul)
+            )
+            filt = line - pred
+        else:
+            raise ValueError(f"unknown filter {filter_type}")
+        raw.append(filter_type)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    """Per-row unfilter (spec §6): returns (h, w*bpp) uint8. Sub is an
+    exact per-lane cumsum mod 256 (addition mod 256 commutes with
+    cumsum); up is one vector add; average/paeth carry a left-pixel
+    serial dependency → per-pixel loop of bpp-lane vector ops."""
+    stride = w * bpp + 1
+    rows = raw.reshape(h, stride)
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for r in range(h):
+        ft = int(rows[r, 0])
+        line = rows[r, 1:].astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # sub: recon[i] = raw[i] + recon[i-bpp]
+            rec = np.cumsum(line.reshape(w, bpp), axis=0).reshape(-1) % 256
+        elif ft == 2:  # up
+            rec = (line + prev) % 256
+        elif ft == 3:  # average
+            rec = np.empty(w * bpp, dtype=np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            lw = line.reshape(w, bpp)
+            pw = prev.reshape(w, bpp)
+            rw = rec.reshape(w, bpp)
+            for x in range(w):
+                left = (lw[x] + (left + pw[x]) // 2) % 256
+                rw[x] = left
+        elif ft == 4:  # paeth
+            rec = np.empty(w * bpp, dtype=np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            ulp = np.zeros(bpp, dtype=np.int32)
+            lw = line.reshape(w, bpp)
+            pw = prev.reshape(w, bpp)
+            rw = rec.reshape(w, bpp)
+            for x in range(w):
+                p = left + pw[x] - ulp
+                pa_ = np.abs(p - left)
+                pb = np.abs(p - pw[x])
+                pc_ = np.abs(p - ulp)
+                pred = np.where(
+                    (pa_ <= pb) & (pa_ <= pc_),
+                    left,
+                    np.where(pb <= pc_, pw[x], ulp),
+                )
+                left = (lw[x] + pred) % 256
+                rw[x] = left
+                ulp = pw[x]
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8. Gray/palette/alpha normalize to
+    RGB (alpha dropped — these stages feed RGB feature extractors).
+    Raises ``ValueError`` on anything malformed (CRC mismatch,
+    truncation, unsupported depth/interlace) — the decode stages turn
+    that into a ``decode_error`` row, never a task failure."""
+    import zlib
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        crc = data[pos + 8 + length : pos + 12 + length]
+        if len(crc) != 4 or struct.unpack(">I", crc)[0] != (
+            zlib.crc32(ctype + body) & 0xFFFFFFFF
+        ):
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype_i, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only bit depth 8 supported, got {depth}")
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlace not supported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_i)
+    if nch is None:
+        raise ValueError(f"unknown color type {ctype_i}")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if raw.size != h * (w * nch + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    px = _png_unfilter(raw, h, w, nch).reshape(h, w, nch)
+    if ctype_i == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype_i == 2:
+        return px
+    if ctype_i == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idx]
+    if ctype_i == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGBA → drop alpha

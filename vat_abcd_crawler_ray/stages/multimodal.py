@@ -4,6 +4,10 @@ as actor-pool ``map_batches`` stages.
 
 Decoders, by honesty level:
 
+- ``decoder="png"`` (images) is a REAL compressed-format decode path:
+  functions/codecs.decode_png — stdlib-zlib inflate + numpy per-row
+  unfilter (all five PNG filters), CRC-checked, gray/palette/alpha
+  normalized to RGB.
 - ``decoder="ppm"`` (images) and the WAV audio stage are REAL,
   library-free decode paths (functions/codecs.py: netpbm header
   parse + ``np.frombuffer``; RIFF chunk walk) — bytes go in, pixels /
@@ -11,8 +15,8 @@ Decoders, by honesty level:
 - ``decoder="fake"`` is a deterministic content-derived stand-in
   (tests and format-agnostic plumbing checks).
 - ``decoder="real"`` marks the seam where PIL/ffmpeg would decode
-  COMPRESSED formats (JPEG/PNG/MP4) — not in this container, raises
-  ``NotImplementedError``.
+  the remaining entropy-coded formats (JPEG/MP4) — not in this
+  container, raises ``NotImplementedError``.
 
 At 100 TB: media bytes dominate block size → run these stages with
 small ``batch_size`` (16-64) and ``batch_format="pyarrow"`` so the
@@ -24,7 +28,12 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.codecs import decode_ppm, decode_wav, resize_nearest
+from ..functions.codecs import (
+    decode_png,
+    decode_ppm,
+    decode_wav,
+    resize_nearest,
+)
 from ..functions.urlkeys import murmur3_x64_128
 
 
@@ -51,8 +60,10 @@ class DecodeImageStage:
         if decoder == "real":
             # the real path would `import PIL.Image` here (once per actor)
             raise NotImplementedError(
-                "compressed-format decoding requires PIL/libvips — not in "
-                "this container; use decoder='ppm' for netpbm bytes"
+                "JPEG decoding requires PIL/libvips — not in this "
+                "container; use decoder='png' for PNG bytes (stdlib-zlib "
+                "decoder, functions/codecs.decode_png) or decoder='ppm' "
+                "for netpbm bytes"
             )
 
     def _decode(self, blob: bytes) -> tuple[np.ndarray, int, int, str | None]:
@@ -60,9 +71,11 @@ class DecodeImageStage:
         null/corrupt blob yields zero pixels + a decode_error string,
         never a task failure (same soft-error model as the audio and
         extract stages)."""
-        if self.decoder == "ppm":
+        if self.decoder in ("ppm", "png"):
             try:
-                img = decode_ppm(blob)
+                img = (decode_png if self.decoder == "png" else decode_ppm)(
+                    blob
+                )
             except ValueError as exc:
                 return (
                     np.zeros((self.h, self.w, 3), np.uint8),
