@@ -1128,10 +1128,12 @@ def _q_knn_ivf(sf_dir: str):
 
 def _q_multimodal_features(sf_dir: str):
     """REAL image + audio decode paths, oracle-gated end to end, in ONE
-    chained pipeline: deterministic constant-color PPM bytes AND PCM-16
-    WAV clips (both derived from doc_id arithmetic) → netpbm header
-    parse + pixel load + nearest resize (``DecodeImageStage``,
-    ``decoder="ppm"``) → RIFF chunk walk + integer audio features
+    chained pipeline: deterministic constant-color PNG bytes (a real
+    COMPRESSED format — stdlib-zlib inflate + per-row unfilter,
+    cycling all five PNG filters across docs) AND PCM-16 WAV clips
+    (both derived from doc_id arithmetic) → CRC-checked chunk walk +
+    inflate + unfilter + nearest resize (``DecodeImageStage``,
+    ``decoder="png"``) → RIFF chunk walk + integer audio features
     (``AudioFeatureStage``), both actor-pool stages over the same
     stream. Merged from the round-2 ``q_multimodal_features`` +
     ``q_audio_features`` pair: the driver records at most 50
@@ -1140,7 +1142,7 @@ def _q_multimodal_features(sf_dir: str):
     gate. The oracle recomputes source dims, channel means and the
     exact integer audio features from doc_id arithmetic, so a decode
     offset/shape/sign bug in either codec breaks the hash."""
-    from vat_abcd_crawler_ray.functions.codecs import encode_ppm, encode_wav
+    from vat_abcd_crawler_ray.functions.codecs import encode_png, encode_wav
     from vat_abcd_crawler_ray.stages.multimodal import (
         AudioFeatureStage,
         DecodeImageStage,
@@ -1156,7 +1158,7 @@ def _q_multimodal_features(sf_dir: str):
             img[..., 0] = i % 256
             img[..., 1] = (i * 7) % 256
             img[..., 2] = (i * 13) % 256
-            imgs.append(encode_ppm(img))
+            imgs.append(encode_png(img, filter_type=i % 5))
             n = 200 + i % 100
             k = np.arange(n, dtype=np.int64)
             v = ((i * 31 + k * 7) % 2048 - 1024).astype(np.int16)
@@ -1175,7 +1177,7 @@ def _q_multimodal_features(sf_dir: str):
         docs.map_batches(to_media, batch_format="pyarrow")
         .map_batches(
             DecodeImageStage,
-            fn_constructor_kwargs={"out_hw": (16, 16), "decoder": "ppm"},
+            fn_constructor_kwargs={"out_hw": (16, 16), "decoder": "png"},
             batch_format="pyarrow",
             batch_size=64,
             concurrency=2,
