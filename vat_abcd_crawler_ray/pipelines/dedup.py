@@ -274,9 +274,9 @@ def _hot_buckets(
     partials switches: below ``driver_limit`` partial rows a pandas
     combine (a per-group map_groups over mostly-singleton buckets
     costs ~0.1 ms Python each, and Ray's sort-based groupby-count
-    measured 37 s on 80k rows — both pathological here), above it a
-    distributed ``groupby(bucket).sum`` so the driver never holds the
-    full bucket-count table."""
+    measured 37 s on 80k rows — both pathological here), above it the
+    hash-partitioned task combine (``ops/hashagg.py``) so the driver
+    never holds the full bucket-count table."""
     partials = signed.map_batches(
         lambda df: df.groupby("bucket", sort=False).size().reset_index(name="n"),
         batch_format="pandas",
@@ -293,18 +293,13 @@ def _hot_buckets(
         return np.sort(
             g["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
         )
-    from ray.data.aggregate import Sum
+    # past the driver gate: hash-partitioned task combine (C++ hash-agg
+    # per partition) — Ray's sort-based groupby measured 705 s on 5.7M
+    # mostly-singleton partials at 32 CPUs (ops/hashagg.py docstring)
+    from ..ops.hashagg import hot_combine
 
-    hot = (
-        partials.groupby("bucket")
-        .aggregate(Sum("n", alias_name="total"))
-        .map_batches(
-            lambda df: df.loc[df["total"] >= 2, ["bucket"]],
-            batch_format="pandas",
-        )
-        .to_pandas()
-    )
-    return hot["bucket"].to_numpy(dtype=np.int64)
+    keys, _ = hot_combine(partials, key="bucket", sum_col="n", min_count=2)
+    return keys
 
 
 # Max hot-bucket count for the broadcast star verify: the rep table
@@ -340,8 +335,9 @@ def _hot_reps(
     and emits a partial (bucket, n, min_id) row per distinct bucket.
     Below ``driver_limit`` partial rows the combine is a driver numpy
     reduceat (Ray's sort groupby measured 37 s on 80k mostly-singleton
-    buckets); above it a distributed groupby(Sum, Min) and the driver
-    only pulls the duplicate-bounded hot slice. Returns None if the
+    buckets); above it the hash-partitioned task combine of
+    ``ops/hashagg.py`` and the driver only pulls the duplicate-bounded
+    hot slice. Returns None if the
     hot set exceeds the broadcast gate (caller falls back to the
     grouped shuffle verify)."""
 
@@ -388,24 +384,24 @@ def _hot_reps(
         mi = g["min_id_min"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(bk)
         return bk[order], mi[order]
-    from ray.data.aggregate import Min, Sum
+    # past the driver gate: hash-partitioned task combine (C++ hash-agg
+    # per partition) — Ray's sort-based groupby measured 705 s on 5.7M
+    # mostly-singleton partials at 32 CPUs (ops/hashagg.py docstring);
+    # the broadcast gate is checked from per-reducer counts before any
+    # hot slice is fetched
+    from ..ops.hashagg import hot_combine
 
-    hot = (
-        partials.groupby("bucket")
-        .aggregate(Sum("n", alias_name="total"), Min("min_id", alias_name="rep"))
-        .map_batches(
-            lambda df: df.loc[df["total"] >= 2, ["bucket", "rep"]],
-            batch_format="pandas",
-        )
-        .materialize()
+    res = hot_combine(
+        partials,
+        key="bucket",
+        sum_col="n",
+        min_col="min_id",
+        min_count=2,
+        hot_limit=_REP_BROADCAST_LIMIT,
     )
-    if hot.count() > _REP_BROADCAST_LIMIT:
+    if res is None:
         return None
-    pdf = hot.to_pandas().sort_values("bucket")
-    return (
-        pdf["bucket"].to_numpy(np.int64),
-        pdf["rep"].to_numpy(np.int64),
-    )
+    return res
 
 
 def _star_verify_broadcast(
