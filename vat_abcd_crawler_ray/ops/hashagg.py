@@ -49,6 +49,20 @@ def _partition_ids(keys: np.ndarray, parts: int) -> np.ndarray:
     return ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
 
 
+def _column_partition_ids(col: "pa.ChunkedArray", parts: int) -> np.ndarray:
+    """Partition ids for an arbitrary key column: integers go through
+    the multiplicative mix directly; strings/binary through pandas'
+    vectorized siphash (``pd.util.hash_array``)."""
+    if pa.types.is_integer(col.type):
+        return _partition_ids(
+            col.to_numpy(zero_copy_only=False).astype(np.int64), parts
+        )
+    import pandas as pd
+
+    h = pd.util.hash_array(col.to_pandas().to_numpy())
+    return (h % np.uint64(parts)).astype(np.int64)
+
+
 def _as_arrow(block) -> pa.Table:
     if isinstance(block, pa.Table):
         return block
@@ -64,9 +78,7 @@ def _split_block(block, key: str, parts: int):
     if not tbl.num_rows:
         empty = tbl.slice(0, 0)
         return tuple(empty for _ in range(parts))
-    pids = _partition_ids(
-        tbl[key].to_numpy(zero_copy_only=False).astype(np.int64), parts
-    )
+    pids = _column_partition_ids(tbl[key], parts)
     order = np.argsort(pids, kind="stable")
     sorted_pids = pids[order]
     bounds = np.searchsorted(sorted_pids, np.arange(parts + 1))
@@ -121,6 +133,46 @@ def _combine_partition(
     )
     out = out.filter(pc.greater_equal(out["total"], pa.scalar(min_count)))
     return out.num_rows, out
+
+
+@ray.remote
+def _distinct_partition(key: str, *tables: pa.Table) -> pa.Table:
+    """Distinct key values of one partition's slices (C++ hash-agg)."""
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        # keep the input schema so empty partitions concat cleanly
+        if tables:
+            return tables[0].select([key])
+        return pa.table({key: pa.array([], type=pa.int64())})
+    return pa.TableGroupBy(pa.concat_tables(live), key).aggregate([])
+
+
+def distinct_dataset(
+    keys: "ray.data.Dataset", key: str, parts: int | None = None
+) -> "ray.data.Dataset":
+    """Distinct values of ``key`` as a Dataset, one block per hash
+    partition — the values never pass through the driver, so this is
+    the above-broadcast-gate replacement for Ray's sort-based
+    ``groupby(key).count()`` key dedup (same pathology class as the
+    combine this module exists for)."""
+    import ray.data as rd
+
+    refs = keys.to_arrow_refs()
+    if parts is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        parts = max(8, min(256, cpus))
+    if not refs:
+        return rd.from_arrow(pa.table({key: pa.array([], type=pa.int64())}))
+    split = _split_block.options(num_returns=parts)
+    matrix = [split.remote(r, key, parts) for r in refs]
+    if parts == 1:
+        matrix = [[m] for m in matrix]
+    return rd.from_arrow_refs(
+        [
+            _distinct_partition.remote(key, *[row[p] for row in matrix])
+            for p in range(parts)
+        ]
+    )
 
 
 def hot_combine(

@@ -138,11 +138,16 @@ def semi_join_keys(
         vals = keys.to_pandas()[on].to_numpy()
         return broadcast_semi_join(big, vals, on=on)
 
-    # enforce key uniqueness with a key-only groupby (the broadcast
-    # path dedupes naturally via is_in; without this the inner join
-    # would duplicate big rows — a contract violation that only
-    # surfaced above the gate, where it is hardest to test)
-    uniq = keys.select_columns([on]).groupby(on).count().select_columns([on])
+    # enforce key uniqueness with a hash-partitioned task distinct (the
+    # broadcast path dedupes naturally via is_in; without this the
+    # inner join would duplicate big rows — a contract violation that
+    # only surfaced above the gate, where it is hardest to test).
+    # NOT Ray's sort-based groupby(on).count(): that measured ~100×
+    # slower than C++ hash-agg on multi-million mostly-unique keys
+    # (ops/hashagg.py docstring), and this path only runs above 5M keys
+    from .hashagg import distinct_dataset
+
+    uniq = distinct_dataset(keys.select_columns([on]), on)
     # the key side contributes no value columns, so the inner join's
     # output schema is exactly big's (key column reordered first)
     return bucket_hash_join(big, uniq, on=on, how="inner")

@@ -501,6 +501,8 @@ class CrawlRun:
         # cluster, but without a Dataset execution's fixed startup on
         # the run's serial path (VERDICT r4 #2: every chained
         # execution was a measured per-run tax)
+        _dbg = os.environ.get("VAT_CRAWL_TIMERS")
+        _td = _now()
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         seed_t = pq.read_table(self.seeds_path)  # file or directory
         nchunks = max(1, min(2 * ncpu, seed_t.num_rows // 2048 or 1))
@@ -510,6 +512,10 @@ class CrawlRun:
             for off in range(0, seed_t.num_rows, size)
         ]
         sdf = pa.concat_tables(ray.get(refs)).to_pandas()
+        if _dbg:
+            print(f"[boot] key_seeds {_now()-_td:.2f}s ({len(sdf)} seeds, "
+                  f"{nchunks} chunks)", file=sys.stderr)
+            _td = _now()
         # C1 debug window: skip(dataset_start).take(dataset_limit), only
         # when debug is on (/root/reference/src/main.rs:154-169)
         if self.settings.debug:
@@ -518,7 +524,13 @@ class CrawlRun:
             limit = self.settings.dataset_limit
             sdf = sdf.iloc[start : start + limit if limit else None]
         self.seen.offer_batch(sdf["key"].to_numpy(), sdf["seq"].to_numpy())
+        if _dbg:
+            print(f"[boot] offer {_now()-_td:.2f}s", file=sys.stderr)
+            _td = _now()
         admitted = self.seen.commit_round().to_pandas()
+        if _dbg:
+            print(f"[boot] commit {_now()-_td:.2f}s", file=sys.stderr)
+            _td = _now()
         # next_seq counts ALL seeds (pre-dedup max), matching the
         # sequential reference's `max(s['seq'] for s in seeds) + 1` even
         # when the highest-seq seed is a non-canonical duplicate form
@@ -526,6 +538,9 @@ class CrawlRun:
         sdf = sdf.sort_values("seq", kind="mergesort").drop_duplicates("key")
         frontier = sdf.merge(admitted[["key", "surrogate"]], on="key", how="inner")
         self._write_frontier(frontier[FRONTIER_COLS], 0, "seeds")
+        if _dbg:
+            print(f"[boot] merge+write {_now()-_td:.2f}s "
+                  f"({len(frontier)} rows)", file=sys.stderr)
         # hand round 0 its frontier in memory (the disk copy above
         # stays the replay source) — the round-pipelined selection
         # then never re-reads the directory the driver just wrote;
