@@ -1139,10 +1139,21 @@ def _q_multimodal_features(sf_dir: str):
     ``q_audio_features`` pair: the driver records at most 50
     CORRECTNESS rows, and as the 51st entry the audio query silently
     got none — one joint query keeps BOTH real decode paths inside the
-    gate. The oracle recomputes source dims, channel means and the
-    exact integer audio features from doc_id arithmetic, so a decode
-    offset/shape/sign bug in either codec breaks the hash."""
-    from vat_abcd_crawler_ray.functions.codecs import encode_png, encode_wav
+    gate. Round 5 makes the image column a MIXED-format corpus (the
+    realistic crawled case): even doc_ids are PNG, odd doc_ids are
+    baseline JPEG (constant grayscale at quality 100 — DC-only blocks
+    with a unit quantizer, so the full Huffman + dequantize + IDCT
+    path decodes bit-exactly and stays hash-checkable; restart markers
+    every 2 MCUs on doc_id % 4 == 3 exercise the resync path), and the
+    stage runs ``decoder="auto"`` (per-blob magic-byte sniffing). The
+    oracle recomputes source dims, channel means and the exact integer
+    audio features from doc_id arithmetic, so a decode
+    offset/shape/sign bug in any of the three codecs breaks the hash."""
+    from vat_abcd_crawler_ray.functions.codecs import (
+        encode_jpeg,
+        encode_png,
+        encode_wav,
+    )
     from vat_abcd_crawler_ray.stages.multimodal import (
         AudioFeatureStage,
         DecodeImageStage,
@@ -1154,11 +1165,21 @@ def _q_multimodal_features(sf_dir: str):
         imgs, wavs = [], []
         for i in t["doc_id"].to_pylist():
             h, w = 6 + i % 3, 8 + i % 5
-            img = np.empty((h, w, 3), np.uint8)
-            img[..., 0] = i % 256
-            img[..., 1] = (i * 7) % 256
-            img[..., 2] = (i * 13) % 256
-            imgs.append(encode_png(img, filter_type=i % 5))
+            if i % 2:
+                gray = np.full((h, w), (i * 11) % 256, np.uint8)
+                imgs.append(
+                    encode_jpeg(
+                        gray,
+                        quality=100,
+                        restart_interval=2 if i % 4 == 3 else 0,
+                    )
+                )
+            else:
+                img = np.empty((h, w, 3), np.uint8)
+                img[..., 0] = i % 256
+                img[..., 1] = (i * 7) % 256
+                img[..., 2] = (i * 13) % 256
+                imgs.append(encode_png(img, filter_type=i % 5))
             n = 200 + i % 100
             k = np.arange(n, dtype=np.int64)
             v = ((i * 31 + k * 7) % 2048 - 1024).astype(np.int16)
@@ -1177,7 +1198,7 @@ def _q_multimodal_features(sf_dir: str):
         docs.map_batches(to_media, batch_format="pyarrow")
         .map_batches(
             DecodeImageStage,
-            fn_constructor_kwargs={"out_hw": (16, 16), "decoder": "png"},
+            fn_constructor_kwargs={"out_hw": (16, 16), "decoder": "auto"},
             batch_format="pyarrow",
             batch_size=64,
             concurrency=2,
@@ -1904,9 +1925,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(6 + d.doc_id % 3 AS INTEGER) AS src_height,
                    CAST(8 + d.doc_id % 5 AS INTEGER) AS src_width,
-                   CAST(d.doc_id % 256 AS DOUBLE) AS mean_r,
-                   CAST((d.doc_id * 7) % 256 AS DOUBLE) AS mean_g,
-                   CAST((d.doc_id * 13) % 256 AS DOUBLE) AS mean_b,
+                   CAST(CASE WHEN d.doc_id % 2 = 1 THEN (d.doc_id * 11) % 256
+                             ELSE d.doc_id % 256 END AS DOUBLE) AS mean_r,
+                   CAST(CASE WHEN d.doc_id % 2 = 1 THEN (d.doc_id * 11) % 256
+                             ELSE (d.doc_id * 7) % 256 END AS DOUBLE) AS mean_g,
+                   CAST(CASE WHEN d.doc_id % 2 = 1 THEN (d.doc_id * 11) % 256
+                             ELSE (d.doc_id * 13) % 256 END AS DOUBLE) AS mean_b,
                    a.n_samples,
                    CAST(8000 + (d.doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
                    a.sum_abs,

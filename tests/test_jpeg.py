@@ -1,0 +1,148 @@
+"""functions/codecs JPEG — the baseline sequential DCT codec (encoder
+and decoder share only published constants, so round trips exercise
+both directions of every code path)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from vat_abcd_crawler_ray.functions.codecs import (
+    _ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            np.clip(yy * 3 + 10, 0, 255),
+            np.clip(xx * 2 + 40, 0, 255),
+            np.clip(xx + yy, 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def _psnr(a, b):
+    mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+    return 10 * np.log10(255**2 / max(mse, 1e-12))
+
+
+class TestJpegCodec:
+    def test_zigzag_is_the_standard_order(self):
+        np.testing.assert_array_equal(
+            _ZIGZAG[:10], [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+        )
+        assert sorted(_ZIGZAG.tolist()) == list(range(64))
+
+    def test_round_trip_high_quality(self):
+        img = _gradient(48, 56)
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        assert out.shape == img.shape
+        assert _psnr(img, out) > 45.0
+
+    def test_round_trip_odd_dimensions(self):
+        img = _gradient(37, 29)  # forces edge-replicate padding
+        out = decode_jpeg(encode_jpeg(img, quality=90))
+        assert out.shape == (37, 29, 3)
+        assert _psnr(img, out) > 40.0
+
+    def test_quality_monotone(self):
+        img = _gradient(40, 40)
+        e95 = _psnr(img, decode_jpeg(encode_jpeg(img, 95)))
+        e30 = _psnr(img, decode_jpeg(encode_jpeg(img, 30)))
+        assert e95 > e30
+        assert len(encode_jpeg(img, 30)) < len(encode_jpeg(img, 95))
+
+    def test_actually_compresses(self):
+        img = _gradient(64, 64)
+        assert len(encode_jpeg(img, 85)) < img.nbytes // 4
+
+    def test_grayscale_round_trip(self):
+        g = np.clip(np.add.outer(np.arange(32) * 4, np.arange(40) * 2), 0, 255).astype(
+            np.uint8
+        )
+        out = decode_jpeg(encode_jpeg(g, quality=92))
+        assert out.shape == (32, 40, 3)
+        # grayscale expands to identical channels
+        np.testing.assert_array_equal(out[:, :, 0], out[:, :, 1])
+        assert _psnr(np.repeat(g[:, :, None], 3, axis=2), out) > 40.0
+
+    def test_restart_markers_round_trip(self):
+        img = _gradient(48, 48)
+        plain = decode_jpeg(encode_jpeg(img, 90))
+        with_rst = encode_jpeg(img, 90, restart_interval=3)
+        assert b"\xff\xdd" in with_rst  # DRI present
+        np.testing.assert_array_equal(decode_jpeg(with_rst), plain)
+
+    def test_deterministic(self):
+        img = _gradient(24, 24)
+        assert encode_jpeg(img, 77) == encode_jpeg(img, 77)
+
+    def test_marker_framing(self):
+        b = encode_jpeg(_gradient(16, 16), 85)
+        assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+        # SOF0 carries the real dimensions
+        i = b.index(b"\xff\xc0")
+        _, h, w, nf = struct.unpack(">BHHB", b[i + 4 : i + 10])
+        assert (h, w, nf) == (16, 16, 3)
+
+    def test_progressive_rejected(self):
+        b = bytearray(encode_jpeg(_gradient(16, 16), 85))
+        i = bytes(b).index(b"\xff\xc0")
+        b[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(b))
+
+    def test_corrupt_rejected(self):
+        with pytest.raises(ValueError):
+            decode_jpeg(b"not a jpeg")
+        truncated = encode_jpeg(_gradient(16, 16), 85)[:40]
+        with pytest.raises(ValueError):
+            decode_jpeg(truncated)
+
+    def test_noise_image_survives(self):
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=100))
+        assert out.shape == img.shape
+        assert _psnr(img, out) > 25.0  # noise is the worst case
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJpegStage:
+    def test_decode_image_stage_jpeg(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vat_abcd_crawler_ray.stages.multimodal import DecodeImageStage
+
+        imgs = [_gradient(20 + 4 * i, 24) for i in range(6)]
+        blobs = [encode_jpeg(im, 90) for im in imgs]
+        blobs[3] = b"\xff\xd8garbage"  # corrupt -> soft error, not crash
+        ds = rd.from_arrow(
+            pa.table({"doc_id": list(range(6)), "media": blobs})
+        )
+        out = (
+            ds.map_batches(
+                DecodeImageStage,
+                fn_constructor_kwargs={
+                    "out_hw": (16, 16),
+                    "decoder": "jpeg",
+                },
+                batch_format="pyarrow",
+                batch_size=3,
+                concurrency=1,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert len(out) == 6
+        errs = out["image_decode_error"].tolist()
+        assert errs[3] is not None and all(
+            e is None for i, e in enumerate(errs) if i != 3
+        )
+        assert out["src_height"].tolist()[0] == 20

@@ -10,9 +10,15 @@ container formats that need no external library:
 - WAV RIFF PCM-16: chunk walk + sample load.
 - nearest-neighbor resize via strided index sampling.
 
+- JPEG baseline sequential DCT (SOF0, grayscale / YCbCr 4:4:4): a
+  REAL entropy-coded codec — Annex-K quantization + typical Huffman
+  tables, zigzag / DC-differential / run-length symbols, numpy
+  matrix DCT, byte stuffing and restart markers (see the JPEG
+  section below).
+
 These give the multimodal stages (stages/multimodal.py) a genuine
-bytes→pixels/samples path in this container; the remaining
-entropy-coded formats (JPEG/MP3/MP4) still require PIL/ffmpeg and
+bytes→pixels/samples path in this container; the remaining formats
+(progressive/subsampled JPEG, MP3/MP4) still require PIL/ffmpeg and
 stay behind the documented ``decoder="real"`` seam. Encoders are
 included so tests and oracle-gated queries can synthesize
 deterministic media.
@@ -321,3 +327,543 @@ def decode_png(data: bytes) -> np.ndarray:
     if ctype_i == 4:
         return np.repeat(px[:, :, :1], 3, axis=2)
     return px[:, :, :3]  # RGBA → drop alpha
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, ITU-T T.81)
+# ---------------------------------------------------------------------------
+# A REAL entropy-coded codec with no external library: 8x8 DCT as a
+# numpy matrix product, Annex-K quantization tables scaled by the
+# libjpeg quality formula, zigzag + DC-differential + AC run-length
+# symbols, canonical Huffman coding with the Annex-K typical tables,
+# JFIF marker framing, byte stuffing, and optional restart markers.
+# Scope (asserted at decode, raised as NotImplementedError beyond it):
+# 8-bit precision, grayscale or YCbCr 4:4:4, sequential baseline
+# (SOF0) only — progressive (SOF2), subsampled chroma and arithmetic
+# coding stay behind the documented PIL/libjpeg seam. Encode and
+# decode share no state beyond these published constants, so the
+# round-trip tests exercise both directions of every code path.
+
+_JPEG_QL = np.array([  # Annex K.1 luminance quantization
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+
+_JPEG_QC = np.array([  # Annex K.2 chrominance quantization
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)
+
+# Annex K.3-K.6 typical Huffman tables: (BITS counts for lengths
+# 1..16, HUFFVAL symbol list)
+_DC_L_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_L_VALS = list(range(12))
+_DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_C_VALS = list(range(12))
+_AC_L_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_L_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+_AC_C_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _zigzag_indices() -> np.ndarray:
+    """Flat (row*8+col) indices in JPEG zigzag scan order."""
+    rc = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda p: (p[0] + p[1], p[0] if (p[0] + p[1]) % 2 else p[1]),
+    )
+    return np.array([r * 8 + c for r, c in rc], dtype=np.int64)
+
+
+_ZIGZAG = _zigzag_indices()
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix D: F = D @ f @ D.T."""
+    x = np.arange(8)
+    d = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+_DCT = _dct_matrix()
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """Annex-K tables scaled by the libjpeg quality formula."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    ql = np.clip((_JPEG_QL * scale + 50) // 100, 1, 255)
+    qc = np.clip((_JPEG_QC * scale + 50) // 100, 1, 255)
+    return ql.astype(np.int32), qc.astype(np.int32)
+
+
+def _huff_encode_table(bits: list, vals: list) -> dict:
+    """symbol -> (code, length) from a canonical (BITS, HUFFVAL) pair."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode_table(bits: list, vals: list) -> tuple:
+    """(mincode, maxcode, valptr, vals) per T.81 F.16 decode procedure."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code, k = 0, 0
+    for length in range(1, 17):
+        n = bits[length - 1]
+        if n:
+            valptr[length] = k
+            mincode[length] = code
+            code += n
+            k += n
+            maxcode[length] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, list(vals)
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (FF -> FF 00)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        if not length:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:  # pad final byte with 1-bits (T.81 F.1.2.3)
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+class _BitReader:
+    """MSB-first reader over a destuffed entropy segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.bits):
+            raise ValueError("truncated JPEG entropy segment")
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        if not n:
+            return 0
+        if self.pos + n > len(self.bits):
+            raise ValueError("truncated JPEG entropy segment")
+        chunk = self.bits[self.pos : self.pos + n]
+        self.pos += n
+        return int(chunk @ (1 << np.arange(n - 1, -1, -1, dtype=np.int64)))
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.12: map a t-bit magnitude to its signed value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _csize(v: int) -> int:
+    """Magnitude category (number of bits) of a coefficient."""
+    return int(abs(v)).bit_length()
+
+
+def _forward_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """Level-shift, 8x8 DCT and quantize a (h, w) plane (h, w multiples
+    of 8) -> (n_blocks, 64) int32 coefficients in zigzag order, blocks
+    in raster (left-to-right, top-to-bottom) order."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coeffs = np.einsum("ux,nxy,vy->nuv", _DCT, blocks, _DCT)
+    quant = np.round(coeffs / qtab[None, :, :]).astype(np.int32)
+    return quant.reshape(-1, 64)[:, _ZIGZAG]
+
+
+def _encode_block(
+    w: "_BitWriter", zz: np.ndarray, pred: int, dc_tab: dict, ac_tab: dict
+) -> int:
+    """Huffman-encode one zigzag block; returns the new DC predictor."""
+    dc = int(zz[0])
+    diff = dc - pred
+    t = _csize(diff)
+    code, length = dc_tab[t]
+    w.write(code, length)
+    if t:
+        w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    nz = np.flatnonzero(zz[1:])  # positions 0..62 for coeffs 1..63
+    prev = 0
+    for idx in nz:
+        run = int(idx) - prev
+        prev = int(idx) + 1
+        while run > 15:
+            zcode, zlen = ac_tab[0xF0]  # ZRL: 16 zeros
+            w.write(zcode, zlen)
+            run -= 16
+        v = int(zz[1 + idx])
+        t = _csize(v)
+        code, length = ac_tab[(run << 4) | t]
+        w.write(code, length)
+        w.write(v if v >= 0 else v + (1 << t) - 1, t)
+    if prev < 63:
+        code, length = ac_tab[0x00]  # EOB
+        w.write(code, length)
+    return dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale uint8 -> baseline JFIF bytes.
+
+    YCbCr 4:4:4 (no subsampling), Annex-K quantization scaled by
+    ``quality`` (libjpeg formula) and Annex-K typical Huffman tables.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (exercises the decoder's restart resync path)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("encode_jpeg expects (h, w, 3) RGB or (h, w) gray")
+    h, w = img.shape[:2]
+    if not (h and w):
+        raise ValueError("empty image")
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    planes = [
+        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
+    ]
+    ql, qc = _quality_tables(quality)
+    qtabs = [ql] + [qc, qc][: len(planes) - 1]
+    zz_per_comp = [
+        _forward_blocks(np.clip(p, 0, 255), q) for p, q in zip(planes, qtabs)
+    ]
+
+    dc_l = _huff_encode_table(_DC_L_BITS, _DC_L_VALS)
+    ac_l = _huff_encode_table(_AC_L_BITS, _AC_L_VALS)
+    dc_c = _huff_encode_table(_DC_C_BITS, _DC_C_VALS)
+    ac_c = _huff_encode_table(_AC_C_BITS, _AC_C_VALS)
+    enc_tabs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(  # APP0 / JFIF 1.1
+        0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += _seg(0xFFDB, b"\x00" + bytes(ql.reshape(64)[_ZIGZAG].tolist()))
+    if len(planes) > 1:
+        out += _seg(0xFFDB, b"\x01" + bytes(qc.reshape(64)[_ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for ci in range(len(planes)):
+        sof += struct.pack(">BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    out += _seg(0xFFC0, sof)
+    for tc_th, (bits, vals) in (
+        (0x00, (_DC_L_BITS, _DC_L_VALS)),
+        (0x10, (_AC_L_BITS, _AC_L_VALS)),
+        (0x01, (_DC_C_BITS, _DC_C_VALS)),
+        (0x11, (_AC_C_BITS, _AC_C_VALS)),
+    ):
+        if tc_th & 0x01 and len(planes) == 1:
+            continue
+        out += _seg(0xFFC4, bytes([tc_th] + bits + list(vals)))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += _seg(0xFFDA, sos + b"\x00\x3f\x00")
+
+    n_mcu = zz_per_comp[0].shape[0]  # 4:4:4 - one block per comp per MCU
+    writer = _BitWriter()
+    preds = [0] * len(planes)
+    rst = 0
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            writer.flush()
+            out += writer.out
+            writer = _BitWriter()
+            out += struct.pack(">H", 0xFFD0 + rst)
+            rst = (rst + 1) & 7
+            preds = [0] * len(planes)
+        for ci, (dc_tab, ac_tab) in enumerate(enc_tabs):
+            preds[ci] = _encode_block(
+                writer, zz_per_comp[ci][m], preds[ci], dc_tab, ac_tab
+            )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _huff_decode(reader: "_BitReader", tab: tuple) -> int:
+    """One symbol via the T.81 F.16 mincode/maxcode walk."""
+    mincode, maxcode, valptr, vals = tab
+    code = reader.read_bit()
+    length = 1
+    while code > maxcode[length]:
+        if length >= 16:
+            raise ValueError("invalid Huffman code in JPEG stream")
+        code = (code << 1) | reader.read_bit()
+        length += 1
+    return vals[valptr[length] + code - mincode[length]]
+
+
+def _decode_block(
+    reader: "_BitReader", pred: int, dc_tab: tuple, ac_tab: tuple
+) -> tuple:
+    """One block's zigzag coefficients; returns (zz int32[64], new_pred)."""
+    zz = np.zeros(64, np.int32)
+    t = _huff_decode(reader, dc_tab)
+    dc = pred + _extend(reader.receive(t), t)
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient index overflow")
+        zz[k] = _extend(reader.receive(size), size)
+        k += 1
+    return zz, dc
+
+
+def _entropy_segments(data: bytes, pos: int) -> list:
+    """Destuffed entropy segments from SOS payload end to EOI, split at
+    restart markers. Returns list of bytes (one per restart interval)."""
+    segs, cur = [], bytearray()
+    n = len(data)
+    while pos < n:
+        byte = data[pos]
+        if byte != 0xFF:
+            cur.append(byte)
+            pos += 1
+            continue
+        nxt = data[pos + 1] if pos + 1 < n else None
+        if nxt == 0x00:  # stuffed FF
+            cur.append(0xFF)
+            pos += 2
+        elif nxt is not None and 0xD0 <= nxt <= 0xD7:  # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        elif nxt == 0xD9:  # EOI
+            break
+        else:
+            raise ValueError(f"unexpected marker FF{nxt:02X} in scan")
+    segs.append(bytes(cur))
+    return segs
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB (grayscale expands).
+
+    Supports the profile :func:`encode_jpeg` emits and its spec
+    neighborhood: SOF0, 8-bit, 1 or 3 components at 1x1 sampling,
+    8-bit DQT tables, restart markers. Progressive (SOF2), other SOFn,
+    subsampled chroma and 16-bit DQT raise NotImplementedError — the
+    documented PIL/libjpeg seam."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple, tuple] = {}
+    sof = None
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        body = data[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT not supported")
+                zz = np.frombuffer(body[i + 1 : i + 65], np.uint8)
+                tab = np.zeros(64, np.int32)
+                tab[_ZIGZAG] = zz
+                qtabs[tq] = tab.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                htabs[(tc, th)] = _huff_decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nf = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            comps = []
+            for ci in range(nf):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled chroma requires libjpeg (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            if nf not in (1, 3):
+                raise NotImplementedError(f"{nf}-component JPEG unsupported")
+            sof = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "non-baseline JPEG (progressive/extended/arithmetic) "
+                "requires PIL/libjpeg"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            scan_tabs = []
+            for ci in range(ns):
+                cid, tdta = body[1 + 2 * ci : 3 + 2 * ci]
+                scan_tabs.append((cid, tdta >> 4, tdta & 0x0F))
+            h, w, comps = sof
+            if ns != len(comps):
+                raise NotImplementedError("multi-scan JPEG unsupported")
+            segs = _entropy_segments(data, pos)
+            ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+            n_mcu = (ph // 8) * (pw // 8)
+            per_comp = [np.zeros((n_mcu, 64), np.int32) for _ in comps]
+            dec_tabs = []
+            for (cid, tq), (scid, td, ta) in zip(comps, scan_tabs):
+                if cid != scid:
+                    raise ValueError("SOS/SOF component order mismatch")
+                dec_tabs.append((htabs[(0, td)], htabs[(1, ta)]))
+            seg_idx = 0
+            reader = _BitReader(segs[0])
+            preds = [0] * len(comps)
+            for m in range(n_mcu):
+                if restart_interval and m and m % restart_interval == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segs):
+                        raise ValueError("missing JPEG restart segment")
+                    reader = _BitReader(segs[seg_idx])
+                    preds = [0] * len(comps)
+                for ci, (dc_tab, ac_tab) in enumerate(dec_tabs):
+                    zz, preds[ci] = _decode_block(
+                        reader, preds[ci], dc_tab, ac_tab
+                    )
+                    per_comp[ci][m] = zz
+            planes = []
+            for (cid, tq), zzs in zip(comps, per_comp):
+                coeffs = np.zeros((n_mcu, 64), np.float64)
+                coeffs[:, _ZIGZAG] = zzs
+                coeffs = coeffs.reshape(-1, 8, 8) * qtabs[tq][None, :, :]
+                px = np.einsum("xu,nuv,yv->nxy", _DCT.T, coeffs, _DCT.T)
+                plane = (
+                    px.reshape(ph // 8, pw // 8, 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(ph, pw)
+                    + 128.0
+                )
+                planes.append(plane[:h, :w])
+            if len(planes) == 1:
+                y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+                return np.repeat(y[:, :, None], 3, axis=2)
+            y, cb, cr = planes
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = np.stack([r, g, b], axis=2)
+            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        # all other markers (APPn, COM): payload already skipped
+    raise ValueError("no SOS marker found")

@@ -8,15 +8,23 @@ Decoders, by honesty level:
   functions/codecs.decode_png — stdlib-zlib inflate + numpy per-row
   unfilter (all five PNG filters), CRC-checked, gray/palette/alpha
   normalized to RGB.
+- ``decoder="jpeg"`` (images) is a REAL entropy-coded decode path:
+  functions/codecs.decode_jpeg — baseline sequential DCT (SOF0,
+  4:4:4 or grayscale), Huffman decode, dequantize + IDCT, restart
+  markers; progressive/subsampled raise NotImplementedError.
 - ``decoder="ppm"`` (images) and the WAV audio stage are REAL,
   library-free decode paths (functions/codecs.py: netpbm header
   parse + ``np.frombuffer``; RIFF chunk walk) — bytes go in, pixels /
   samples come out, resize and features operate on the decoded data.
+- ``decoder="auto"`` sniffs each blob's magic bytes (PNG signature,
+  JPEG SOI, netpbm P3/P6) and routes to the matching real decoder —
+  the realistic mixed-corpus configuration for a crawled image
+  column, where format is per-row data, not stage configuration.
 - ``decoder="fake"`` is a deterministic content-derived stand-in
   (tests and format-agnostic plumbing checks).
 - ``decoder="real"`` marks the seam where PIL/ffmpeg would decode
-  the remaining entropy-coded formats (JPEG/MP4) — not in this
-  container, raises ``NotImplementedError``.
+  the remaining formats (progressive/subsampled JPEG, MP4) — not in
+  this container, raises ``NotImplementedError``.
 
 At 100 TB: media bytes dominate block size → run these stages with
 small ``batch_size`` (16-64) and ``batch_format="pyarrow"`` so the
@@ -29,12 +37,29 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.codecs import (
+    decode_jpeg,
     decode_png,
     decode_ppm,
     decode_wav,
     resize_nearest,
 )
 from ..functions.urlkeys import murmur3_x64_128
+
+
+_REAL_DECODERS = {"png": decode_png, "ppm": decode_ppm, "jpeg": decode_jpeg}
+
+
+def _sniff_format(blob: bytes) -> str:
+    """Magic-byte format sniff for ``decoder="auto"``: PNG signature,
+    JPEG SOI, netpbm P3/P6. Unknown prefixes raise ValueError so the
+    caller's soft-error path turns them into a decode_error row."""
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if blob[:2] == b"\xff\xd8":
+        return "jpeg"
+    if blob[:2] in (b"P3", b"P6"):
+        return "ppm"
+    raise ValueError(f"unrecognized image format (prefix {blob[:4]!r})")
 
 
 def _fake_pixels(data: bytes, h: int, w: int) -> np.ndarray:
@@ -60,10 +85,10 @@ class DecodeImageStage:
         if decoder == "real":
             # the real path would `import PIL.Image` here (once per actor)
             raise NotImplementedError(
-                "JPEG decoding requires PIL/libvips — not in this "
-                "container; use decoder='png' for PNG bytes (stdlib-zlib "
-                "decoder, functions/codecs.decode_png) or decoder='ppm' "
-                "for netpbm bytes"
+                "progressive/subsampled JPEG decoding requires PIL/libvips "
+                "— not in this container; use decoder='jpeg' for baseline "
+                "4:4:4 JPEG (functions/codecs.decode_jpeg), decoder='png' "
+                "for PNG bytes, or decoder='ppm' for netpbm bytes"
             )
 
     def _decode(self, blob: bytes) -> tuple[np.ndarray, int, int, str | None]:
@@ -71,12 +96,16 @@ class DecodeImageStage:
         null/corrupt blob yields zero pixels + a decode_error string,
         never a task failure (same soft-error model as the audio and
         extract stages)."""
-        if self.decoder in ("ppm", "png"):
+        if self.decoder in ("ppm", "png", "jpeg", "auto"):
             try:
-                img = (decode_png if self.decoder == "png" else decode_ppm)(
-                    blob
-                )
-            except ValueError as exc:
+                img = _REAL_DECODERS[
+                    _sniff_format(blob) if self.decoder == "auto" else self.decoder
+                ](blob)
+            # NotImplementedError too: a progressive/subsampled JPEG in
+            # a crawled corpus is DATA, not configuration — it
+            # dead-letters like any corrupt blob instead of killing the
+            # task (C2 soft-error model)
+            except (ValueError, NotImplementedError) as exc:
                 return (
                     np.zeros((self.h, self.w, 3), np.uint8),
                     0,
