@@ -1145,11 +1145,17 @@ def _q_multimodal_features(sf_dir: str):
     with a unit quantizer, so the full Huffman + dequantize + IDCT
     path decodes bit-exactly and stays hash-checkable; restart markers
     every 2 MCUs on doc_id % 4 == 3 exercise the resync path), and the
-    stage runs ``decoder="auto"`` (per-blob magic-byte sniffing). The
-    oracle recomputes source dims, channel means and the exact integer
-    audio features from doc_id arithmetic, so a decode
-    offset/shape/sign bug in any of the three codecs breaks the hash."""
+    stage runs ``decoder="auto"`` (per-blob magic-byte sniffing). It
+    also carries the THIRD modality: a Motion-JPEG AVI clip per doc
+    (2 + doc_id % 3 constant-gray frames) through the real RIFF demux
+    + JPEG decode (``VideoFeatureStage``, every 2nd frame sampled) —
+    container, image and audio codecs all REAL and all in one oracle.
+    The oracle recomputes source dims, channel means, the exact
+    integer audio features and the per-frame video means from doc_id
+    arithmetic, so a decode offset/shape/sign bug in any of the four
+    codec paths breaks the hash."""
     from vat_abcd_crawler_ray.functions.codecs import (
+        encode_avi_mjpeg,
         encode_jpeg,
         encode_png,
         encode_wav,
@@ -1157,13 +1163,27 @@ def _q_multimodal_features(sf_dir: str):
     from vat_abcd_crawler_ray.stages.multimodal import (
         AudioFeatureStage,
         DecodeImageStage,
+        VideoFeatureStage,
     )
 
     docs = _read(sf_dir, "documents", ["doc_id"])
 
     def to_media(t: pa.Table) -> pa.Table:
-        imgs, wavs = [], []
+        imgs, wavs, vids = [], [], []
         for i in t["doc_id"].to_pylist():
+            vids.append(
+                encode_avi_mjpeg(
+                    [
+                        encode_jpeg(
+                            np.full((8, 8), (i * 17 + f * 29) % 256, np.uint8),
+                            quality=100,
+                        )
+                        for f in range(2 + i % 3)
+                    ],
+                    8,
+                    8,
+                )
+            )
             h, w = 6 + i % 3, 8 + i % 5
             if i % 2:
                 gray = np.full((h, w), (i * 11) % 256, np.uint8)
@@ -1189,6 +1209,7 @@ def _q_multimodal_features(sf_dir: str):
                 "doc_id": t["doc_id"],
                 "media": pa.array(imgs, pa.binary()),
                 "wav": pa.array(wavs, pa.binary()),
+                "video": pa.array(vids, pa.binary()),
             }
         )
 
@@ -1212,6 +1233,14 @@ def _q_multimodal_features(sf_dir: str):
             concurrency=2,
             num_cpus=0.5,
         )
+        .map_batches(
+            VideoFeatureStage,
+            fn_constructor_kwargs={"media_col": "video", "every_n": 2},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=2,
+            num_cpus=0.5,
+        )
     )
 
     def feats(t: pa.Table) -> pa.Table:
@@ -1230,6 +1259,9 @@ def _q_multimodal_features(sf_dir: str):
                 "sample_rate": t["sample_rate"],
                 "sum_abs": t["sum_abs"],
                 "zero_crossings": t["zero_crossings"],
+                "n_frames": t["n_frames"],
+                "n_sampled": t["n_sampled"],
+                "frame_mean": t["frame_mean"],
             }
         )
 
@@ -1934,7 +1966,18 @@ def oracle_sql() -> dict[str, str]:
                    a.n_samples,
                    CAST(8000 + (d.doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
                    a.sum_abs,
-                   a.zero_crossings
+                   a.zero_crossings,
+                   CAST(2 + d.doc_id % 3 AS INTEGER) AS n_frames,
+                   CAST(CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 2 END
+                        AS INTEGER) AS n_sampled,
+                   -- every-2nd-frame sample of constant-gray frames
+                   -- gray_f = (doc_id*17 + f*29) % 256: n=2 samples
+                   -- {f=0}; n=3,4 sample {f=0, f=2}
+                   CAST(CASE WHEN d.doc_id % 3 = 0
+                             THEN (d.doc_id * 17) % 256
+                             ELSE ((d.doc_id * 17) % 256
+                                   + (d.doc_id * 17 + 58) % 256) / 2.0
+                        END AS DOUBLE) AS frame_mean
             FROM documents d JOIN a ON a.doc_id = d.doc_id
         """,
         "q_knn_ivf": """

@@ -867,3 +867,104 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
         # all other markers (APPn, COM): payload already skipped
     raise ValueError("no SOS marker found")
+
+
+# ---------------------------------------------------------------------------
+# AVI / Motion-JPEG (Microsoft RIFF AVI spec) — a REAL video container
+# path: mux/demux is pure RIFF chunk arithmetic (the same walk the WAV
+# decoder does, nested one level) and every frame is a baseline JPEG
+# that decode_jpeg already handles, so "video" needs no external
+# library either. The remaining seam is inter-frame codecs
+# (H.264/MP4) — that is ffmpeg territory, stages/multimodal keeps the
+# honest NotImplementedError for it.
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(cid: bytes, payload: bytes) -> bytes:
+    """One word-aligned RIFF chunk (spec: odd-size payloads pad 1)."""
+    return cid + struct.pack("<I", len(payload)) + payload + (
+        b"\x00" if len(payload) & 1 else b""
+    )
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 25
+) -> bytes:
+    """JPEG frame blobs → minimal single-stream MJPG AVI bytes.
+
+    Writes RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh,strf}} →
+    LIST(movi){00dc×F}. No idx1 (optional per spec; the demuxer and
+    every mainstream player walk movi when it is absent)."""
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+    max_sz = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<10I16x",
+        1_000_000 // fps,   # dwMicroSecPerFrame
+        max_sz * fps,       # dwMaxBytesPerSec
+        0, 0,               # padding granularity, flags
+        len(frames), 0, 1,  # total frames, initial frames, streams
+        max_sz,             # suggested buffer size
+        width, height,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack(
+            "<IHHIIIIIIII4h",
+            0, 0, 0, 0,       # flags, priority, language, initial frames
+            1, fps,           # scale, rate (fps = rate/scale)
+            0, len(frames),   # start, length
+            max_sz, 0, 0,     # buffer size, quality, sample size
+            0, 0, width, height,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = b"hdrl" + _riff_chunk(b"avih", avih) + _riff_chunk(
+        b"LIST", b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+    )
+    movi = b"movi" + b"".join(_riff_chunk(b"00dc", f) for f in frames)
+    body = b"AVI " + _riff_chunk(b"LIST", hdrl) + _riff_chunk(b"LIST", movi)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def demux_avi_mjpeg(data: bytes) -> list[bytes]:
+    """MJPG AVI bytes → list of per-frame JPEG blobs (decode order).
+
+    Tolerant movi walk: accepts 00dc/00db (compressed/uncompressed
+    video) chunks for any stream number, descends into 'rec ' groups
+    (interleaved-AV files wrap frames in them), ignores idx1 and any
+    unknown chunk. Raises ValueError on a non-AVI or truncated file —
+    the callers' soft-error path turns that into a dead-letter row."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+
+    frames: list[bytes] = []
+
+    def walk_movi(lo: int, hi: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            cid = data[pos : pos + 4]
+            size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+            end = pos + 8 + size
+            if end > hi:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST" and data[pos + 8 : pos + 12] == b"rec ":
+                walk_movi(pos + 12, end)
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(data[pos + 8 : end])
+            pos = end + (size & 1)
+
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        end = pos + 8 + size
+        if cid == b"LIST" and data[pos + 8 : pos + 12] == b"movi":
+            walk_movi(pos + 12, min(end, len(data)))
+        pos = end + (size & 1)
+    if not frames:
+        raise ValueError("no video frames in movi list")
+    return frames

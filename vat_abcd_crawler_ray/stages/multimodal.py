@@ -222,37 +222,118 @@ class AudioFeatureStage:
 
 
 class FrameSampleStage:
-    """'video' binary → every Nth chunk as a frame row (flat-map shape:
-    1 row in → F rows out). Chunking stands in for ffmpeg frame
-    extraction; the schema and explode mechanics are the real thing."""
+    """'video' binary → every Nth frame as a row (flat-map shape:
+    1 row in → F rows out).
+
+    ``container="avi"`` is a REAL demux path: Motion-JPEG AVI → RIFF
+    movi walk (functions/codecs.demux_avi_mjpeg) → each sampled frame
+    emitted as its JPEG blob, ready for ``DecodeImageStage``
+    downstream (``decoder="jpeg"``/``"auto"``). ``container="bytes"``
+    keeps the fixed-size chunking stand-in for format-agnostic
+    plumbing tests. ``decoder="real"`` stays the honest seam for
+    inter-frame codecs (H.264/MP4 — ffmpeg, not in this container).
+    A corrupt container dead-letters as a zero-frame doc (C2 soft
+    errors), never a task failure."""
 
     def __init__(self, media_col: str = "media", frame_bytes: int = 256,
-                 every_n: int = 2, decoder: str = "fake"):
+                 every_n: int = 2, decoder: str = "fake",
+                 container: str = "bytes"):
         self.media_col = media_col
         self.frame_bytes = frame_bytes
         self.every_n = every_n
+        if container not in ("bytes", "avi"):
+            raise ValueError(f"unknown container {container!r}")
+        self.container = container
         if decoder == "real":
             raise NotImplementedError(
-                "real frame sampling requires ffmpeg — not in this container"
+                "inter-frame video codecs (H.264/MP4) require ffmpeg — "
+                "not in this container; use container='avi' for "
+                "Motion-JPEG AVI (functions/codecs.demux_avi_mjpeg)"
             )
 
+    def _frames(self, blob: bytes) -> list[bytes]:
+        if self.container == "avi":
+            from ..functions.codecs import demux_avi_mjpeg
+
+            return demux_avi_mjpeg(blob)
+        return [
+            blob[i : i + self.frame_bytes]
+            for i in range(0, len(blob), self.frame_bytes)
+        ]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frames, idxs = [], [], []
+        ids, frames, idxs, errs = [], [], [], []
         id_col = batch.column_names[0]
         for rid, blob in zip(batch[id_col].to_pylist(), batch[self.media_col].to_pylist()):
-            blob = blob or b""
-            chunks = [
-                blob[i : i + self.frame_bytes]
-                for i in range(0, len(blob), self.frame_bytes)
-            ]
+            try:
+                chunks = self._frames(blob or b"")
+            except ValueError as exc:
+                ids.append(rid)
+                frames.append(b"")
+                idxs.append(-1)
+                errs.append(str(exc))
+                continue
             for fi, ch in enumerate(chunks[:: self.every_n]):
                 ids.append(rid)
                 frames.append(ch)
                 idxs.append(fi)
+                errs.append(None)
         return pa.table(
             {
                 id_col: pa.array(ids),
                 "frame_idx": pa.array(idxs, pa.int32()),
                 "frame": pa.array(frames, pa.binary()),
+                "frame_error": pa.array(errs, pa.string()),
             }
+        )
+
+
+class VideoFeatureStage:
+    """Per-doc video features WITHOUT the flat-map explode (one row in
+    → one row out, so per-doc pipelines keep their partitioning and
+    need no re-aggregation shuffle): MJPEG-AVI demux → every
+    ``every_n``-th frame through the real JPEG decoder → frame count +
+    mean luma over the sampled frames. Null/corrupt containers or
+    frames dead-letter via ``video_decode_error`` (C2 soft errors).
+
+    At 100 TB video dominates block size: run with small
+    ``batch_size`` and actor-pool ``concurrency``, same sizing rule as
+    the image/audio stages (module docstring)."""
+
+    def __init__(self, media_col: str = "media", every_n: int = 2):
+        from ..functions.codecs import decode_jpeg, demux_avi_mjpeg
+
+        self.media_col = media_col
+        self.every_n = every_n
+        self._demux = demux_avi_mjpeg
+        self._decode = decode_jpeg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_frames, n_sampled, means, errs = [], [], [], []
+        for blob in batch[self.media_col].to_pylist():
+            try:
+                if not blob:
+                    raise ValueError("null/empty video payload")
+                frames = self._demux(blob)
+                sampled = frames[:: self.every_n]
+                # mean of per-frame means: frames can differ in size,
+                # so a pixel-weighted mean would not be closed-form
+                m = float(
+                    np.mean([self._decode(f).mean() for f in sampled])
+                )
+                n_frames.append(len(frames))
+                n_sampled.append(len(sampled))
+                means.append(m)
+                errs.append(None)
+            except (ValueError, NotImplementedError) as exc:
+                n_frames.append(0)
+                n_sampled.append(0)
+                means.append(0.0)
+                errs.append(str(exc))
+        return (
+            batch.drop_columns([self.media_col])
+            .append_column("n_frames", pa.array(n_frames, pa.int32()))
+            .append_column("n_sampled", pa.array(n_sampled, pa.int32()))
+            .append_column("frame_mean", pa.array(means, pa.float64()))
+            .append_column("video_decode_error", pa.array(errs, pa.string()))
         )
