@@ -1159,6 +1159,7 @@ def _q_multimodal_features(sf_dir: str):
         encode_jpeg,
         encode_png,
         encode_wav,
+        encode_wav_mulaw,
     )
     from vat_abcd_crawler_ray.stages.multimodal import (
         AudioFeatureStage,
@@ -1202,8 +1203,15 @@ def _q_multimodal_features(sf_dir: str):
                 imgs.append(encode_png(img, filter_type=i % 5))
             n = 200 + i % 100
             k = np.arange(n, dtype=np.int64)
-            v = ((i * 31 + k * 7) % 2048 - 1024).astype(np.int16)
-            wavs.append(encode_wav(v, 8000 + (i % 4) * 4000))
+            if i % 2:
+                # odd docs: G.711 mu-law (real compressed audio) —
+                # code bytes derived from doc_id arithmetic, so the
+                # oracle re-derives the expansion in closed-form SQL
+                enc = ((i * 37 + k * 11) % 256).astype(np.uint8)
+                wavs.append(encode_wav_mulaw(enc, 8000 + (i % 4) * 4000))
+            else:
+                v = ((i * 31 + k * 7) % 2048 - 1024).astype(np.int16)
+                wavs.append(encode_wav(v, 8000 + (i % 4) * 4000))
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -1938,9 +1946,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT d.doc_id AS doc_id,
                      unnest(generate_series(0, CAST(199 + d.doc_id % 100 AS BIGINT))) AS k
               FROM documents d
-            ), v AS (
-              SELECT doc_id, k, ((doc_id * 31 + k * 7) % 2048) - 1024 AS val
+            ), u AS (
+              -- odd docs carry G.711 mu-law audio: uc = ~code_byte
+              SELECT doc_id, k,
+                     255 - (doc_id * 37 + k * 11) % 256 AS uc
               FROM s
+            ), v AS (
+              -- even docs: PCM-16 samples straight from the formula;
+              -- odd docs: the closed-form mu-law expansion
+              -- t = ((uc & 15)*8 + 132) << ((uc >> 4) & 7),
+              -- val = 132 - t if sign bit else t - 132
+              SELECT doc_id, k,
+                     CASE WHEN doc_id % 2 = 1 THEN
+                       CASE WHEN uc >= 128
+                            THEN 132 - (((uc % 16) * 8 + 132)
+                                        * (1 << ((uc // 16) % 8)))
+                            ELSE (((uc % 16) * 8 + 132)
+                                  * (1 << ((uc // 16) % 8))) - 132
+                       END
+                     ELSE ((doc_id * 31 + k * 7) % 2048) - 1024
+                     END AS val
+              FROM u
             ), x AS (
               SELECT doc_id, val,
                      lag(val) OVER (PARTITION BY doc_id ORDER BY k) AS prev

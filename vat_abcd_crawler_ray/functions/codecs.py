@@ -114,11 +114,18 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """RIFF WAVE PCM-16 bytes → ((n, channels) int16, sample_rate)."""
+    """RIFF WAVE bytes → ((n, channels) int16, sample_rate).
+
+    Real COMPRESSED-audio support alongside PCM-16: format tag 7
+    (G.711 μ-law, 8-bit logarithmic companding — a genuine ITU
+    compression standard) expands through the closed-form table, so a
+    mixed crawled corpus of PCM and μ-law clips decodes through ONE
+    per-blob format dispatch (the audio analog of the image stages'
+    ``decoder="auto"``)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
-    sample_rate = channels = None
+    sample_rate = channels = audio_fmt = None
     raw = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -127,17 +134,89 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         if cid == b"fmt ":
             audio_fmt, channels, sample_rate = struct.unpack("<HHI", payload[:8])
             bits = struct.unpack("<H", payload[14:16])[0]
-            if audio_fmt != 1 or bits != 16:
+            if (audio_fmt, bits) not in ((1, 16), (7, 8)):
                 raise ValueError(
-                    f"only PCM-16 supported (fmt={audio_fmt}, bits={bits})"
+                    f"only PCM-16 and mu-law-8 supported "
+                    f"(fmt={audio_fmt}, bits={bits})"
                 )
         elif cid == b"data":
             raw = payload
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if sample_rate is None or raw is None:
         raise ValueError("missing fmt/data chunk")
-    s = np.frombuffer(raw, dtype=np.int16)
+    if audio_fmt == 7:
+        s = mulaw_expand(np.frombuffer(raw, dtype=np.uint8))
+    else:
+        s = np.frombuffer(raw, dtype=np.int16)
     return s.reshape(-1, channels), sample_rate
+
+
+# -- G.711 mu-law (ITU-T, public spec) --------------------------------------
+# Expansion is closed-form integer arithmetic over the encoded byte:
+#   u' = ~u;  t = ((u' & 0x0F) << 3 | 0x84) << ((u' >> 4) & 7)
+#   linear = 0x84 - t  if sign bit set else  t - 0x84
+# which is why mu-law clips can sit inside the SQL hash oracle — the
+# same formula is expressible per-sample in DuckDB.
+
+_ULAW_BIAS = 0x84
+
+
+def _build_ulaw_table() -> np.ndarray:
+    u = np.arange(256, dtype=np.int32) ^ 0xFF  # complement
+    t = (((u & 0x0F) << 3) + _ULAW_BIAS) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, _ULAW_BIAS - t, t - _ULAW_BIAS).astype(np.int16)
+
+
+_ULAW_TABLE = _build_ulaw_table()
+
+
+def mulaw_expand(enc: np.ndarray) -> np.ndarray:
+    """uint8 mu-law bytes → int16 linear samples (vectorized lookup)."""
+    return _ULAW_TABLE[np.asarray(enc, dtype=np.uint8)]
+
+
+def mulaw_compress(samples: np.ndarray) -> np.ndarray:
+    """int16 linear samples → uint8 mu-law bytes (G.711 segment
+    search). Inverse property: compress(expand(u)) == u for all code
+    points except negative zero (0x7F → 0xFF, both expand to 0 —
+    the same collapse the stdlib ``audioop`` reference encoder
+    makes); tested exhaustively."""
+    # canonical CCITT 14-bit algorithm (the one the stdlib audioop /
+    # sox encoder implements): arithmetic >>2 first — negatives floor
+    # toward -inf, which shifts their magnitude by up to one code vs
+    # the naive 16-bit formulation
+    s14 = np.asarray(samples, dtype=np.int32) >> 2
+    sign = s14 < 0
+    mag = np.minimum(np.abs(s14), 8159) + (_ULAW_BIAS >> 2)
+    # segment = first i with mag <= {0x3F,0x7F,...,0x1FFF}[i]
+    # (mag in [33, 8192] so log2 in [5.04, 13])
+    seg = np.clip(np.floor(np.log2(mag)).astype(np.int32) - 5, 0, 8)
+    uval = np.where(
+        seg >= 8, 0x7F, (seg << 4) | ((mag >> (seg + 1)) & 0x0F)
+    )
+    return (uval ^ np.where(sign, 0x7F, 0xFF)).astype(np.uint8)
+
+
+def encode_wav_mulaw(enc_bytes: bytes | np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Raw mu-law code bytes → RIFF WAVE (format tag 7, mono 8-bit).
+
+    Takes the ENCODED bytes (not PCM): pipelines that derive the code
+    stream deterministically can round-trip bit-exactly; use
+    :func:`mulaw_compress` first to encode linear audio."""
+    enc = np.asarray(
+        np.frombuffer(enc_bytes, np.uint8)
+        if isinstance(enc_bytes, (bytes, bytearray))
+        else enc_bytes,
+        dtype=np.uint8,
+    )
+    data = enc.tobytes()
+    # fmt tag 7 requires cbSize (0) per the WAVE spec
+    fmt = struct.pack("<HHIIHHH", 7, 1, sample_rate, sample_rate, 1, 8, 0)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # ---------------------------------------------------------------------------
