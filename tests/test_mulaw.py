@@ -79,7 +79,7 @@ class TestMulawWav:
     def test_unsupported_fmt_rejected(self):
         wav = bytearray(encode_wav_mulaw(bytes(8), 8000))
         wav[20] = 2  # fmt tag 7 → 2 (ADPCM): unsupported
-        with pytest.raises(ValueError, match="only PCM-16 and mu-law"):
+        with pytest.raises(ValueError, match="only PCM-16"):
             decode_wav(bytes(wav))
 
     def test_mixed_corpus_through_audio_stage(self):

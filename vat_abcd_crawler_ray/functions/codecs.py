@@ -126,6 +126,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     sample_rate = channels = audio_fmt = None
+    block_align = fact_samples = None
     raw = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -133,18 +134,24 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         payload = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             audio_fmt, channels, sample_rate = struct.unpack("<HHI", payload[:8])
-            bits = struct.unpack("<H", payload[14:16])[0]
-            if (audio_fmt, bits) not in ((1, 16), (7, 8)):
+            block_align, bits = struct.unpack("<HH", payload[12:16])
+            if (audio_fmt, bits) not in ((1, 16), (7, 8), (0x11, 4)):
                 raise ValueError(
-                    f"only PCM-16 and mu-law-8 supported "
+                    f"only PCM-16, mu-law-8 and IMA-ADPCM-4 supported "
                     f"(fmt={audio_fmt}, bits={bits})"
                 )
+            if audio_fmt == 0x11 and channels != 1:
+                raise ValueError("IMA ADPCM: mono only")
+        elif cid == b"fact":
+            fact_samples = struct.unpack("<I", payload[:4])[0]
         elif cid == b"data":
             raw = payload
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if sample_rate is None or raw is None:
         raise ValueError("missing fmt/data chunk")
-    if audio_fmt == 7:
+    if audio_fmt == 0x11:
+        s = decode_adpcm_ima(raw, block_align, fact_samples)
+    elif audio_fmt == 7:
         s = mulaw_expand(np.frombuffer(raw, dtype=np.uint8))
     else:
         s = np.frombuffer(raw, dtype=np.int16)
@@ -195,6 +202,136 @@ def mulaw_compress(samples: np.ndarray) -> np.ndarray:
         seg >= 8, 0x7F, (seg << 4) | ((mag >> (seg + 1)) & 0x0F)
     )
     return (uval ^ np.where(sign, 0x7F, 0xFF)).astype(np.uint8)
+
+
+# -- IMA ADPCM (WAV format tag 0x11; IMA/DVI spec, public) ------------------
+# Real PREDICTIVE audio compression (4:1): each 4-bit code is a
+# quantized delta against an adaptive predictor. Blocks are
+# independent (each carries its predictor + step index in a 4-byte
+# header), which is exactly what makes the format scale-shaped: a
+# Dataset of clips decodes embarrassingly parallel per blob, and
+# within a blob the decoder vectorizes ACROSS blocks (numpy ops over
+# all blocks in lockstep, serial only in the per-block sample
+# position — the same pattern as the PNG Paeth unfilter).
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+
+_IMA_INDEX = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32
+)
+
+
+def _ima_step(nib: np.ndarray, pred: np.ndarray, idx: np.ndarray):
+    """One IMA ADPCM decode step, vectorized over blocks: 4-bit codes
+    ``nib`` update (pred, idx) in place and return the new samples."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    diff += np.where(nib & 1, step >> 2, 0)
+    diff += np.where(nib & 2, step >> 1, 0)
+    diff += np.where(nib & 4, step, 0)
+    pred += np.where(nib & 8, -diff, diff)
+    np.clip(pred, -32768, 32767, out=pred)
+    idx += _IMA_INDEX[nib]
+    np.clip(idx, 0, 88, out=idx)
+    return pred
+
+
+def decode_adpcm_ima(
+    data: bytes, block_align: int, n_samples: int | None = None
+) -> np.ndarray:
+    """IMA ADPCM block stream (mono) → int16 samples.
+
+    Each ``block_align``-byte block: 4-byte header (int16 predictor =
+    sample 0, uint8 step index, reserved) then 4-bit codes, LOW nibble
+    first (the WAV byte order). All blocks decode in lockstep —
+    numpy over the block axis, serial only within the block."""
+    ba = np.frombuffer(data, dtype=np.uint8)
+    if block_align < 5 or len(ba) % block_align:
+        raise ValueError("ADPCM payload is not whole blocks")
+    blocks = ba.reshape(-1, block_align)
+    nb = len(blocks)
+    pred = blocks[:, :2].copy().view(np.int16)[:, 0].astype(np.int32)
+    idx = blocks[:, 2].astype(np.int32)
+    if (idx > 88).any():
+        raise ValueError("ADPCM step index out of range")
+    body = blocks[:, 4:]
+    spb = (block_align - 4) * 2 + 1  # header sample + 2 per byte
+    out = np.empty((nb, spb), dtype=np.int16)
+    out[:, 0] = pred
+    nibs = np.empty((nb, spb - 1), dtype=np.uint8)
+    nibs[:, 0::2] = body & 0x0F
+    nibs[:, 1::2] = body >> 4
+    for s in range(spb - 1):
+        out[:, s + 1] = _ima_step(nibs[:, s], pred, idx)
+    flat = out.reshape(-1)
+    return flat[:n_samples] if n_samples is not None else flat
+
+
+def encode_adpcm_ima(samples: np.ndarray, block_align: int = 256) -> bytes:
+    """int16 mono samples → IMA ADPCM block stream (greedy standard
+    quantizer). Pads the tail block by repeating the last sample."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim != 1 or not len(s):
+        raise ValueError("encode_adpcm_ima expects non-empty mono int16")
+    spb = (block_align - 4) * 2 + 1
+    n_blocks = -(-len(s) // spb)
+    padded = np.full(n_blocks * spb, s[-1], dtype=np.int16)
+    padded[: len(s)] = s
+    grid = padded.reshape(n_blocks, spb).astype(np.int32)
+    pred = grid[:, 0].copy()
+    # per-block starting step index: best match for the first delta
+    first_diff = np.abs(grid[:, 1] - grid[:, 0])
+    idx = np.searchsorted(_IMA_STEPS, first_diff).astype(np.int32)
+    np.clip(idx, 0, 88, out=idx)
+    header = np.zeros((n_blocks, 4), dtype=np.uint8)
+    header[:, :2] = pred.astype(np.int16).view(np.uint8).reshape(n_blocks, 2)
+    header[:, 2] = idx
+    nibs = np.empty((n_blocks, spb - 1), dtype=np.uint8)
+    for t in range(1, spb):
+        step = _IMA_STEPS[idx]
+        delta = grid[:, t] - pred
+        nib = np.where(delta < 0, 8, 0).astype(np.uint8)
+        diff = np.abs(delta)
+        for bit, shift in ((4, 0), (2, 1), (1, 2)):
+            th = step >> shift
+            take = diff >= th
+            nib |= np.where(take, bit, 0).astype(np.uint8)
+            diff -= np.where(take, th, 0)
+        _ima_step(nib, pred, idx)  # track the decoder's state exactly
+        nibs[:, t - 1] = nib
+    body = (nibs[:, 0::2] | (nibs[:, 1::2] << 4)).astype(np.uint8)
+    return np.concatenate([header, body], axis=1).tobytes()
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, sample_rate: int = 8000, block_align: int = 256
+) -> bytes:
+    """int16 mono samples → RIFF WAVE (format tag 0x11, IMA ADPCM).
+
+    Writes the spec's extended fmt chunk (cbSize=2, wSamplesPerBlock)
+    and a fact chunk with the true sample count so the decoder can
+    strip tail padding."""
+    s = np.asarray(samples, dtype=np.int16)
+    data = encode_adpcm_ima(s, block_align)
+    spb = (block_align - 4) * 2 + 1
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, len(s))
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_wav_mulaw(enc_bytes: bytes | np.ndarray, sample_rate: int = 8000) -> bytes:

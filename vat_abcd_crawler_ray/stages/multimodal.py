@@ -179,11 +179,14 @@ class ImageFeatureStage:
 
 class AudioFeatureStage:
     """WAV binary → per-clip scalar features, REAL decode path
-    (functions/codecs.decode_wav — RIFF PCM-16 chunk walk):
-    sample count, rate, integer sum of |mono samples| and zero-crossing
-    count — exact integers, so the stage is oracle-checkable end to end
-    (the audio half of ``q_multimodal_features``). A model-embedding
-    variant would load its model here in ``__init__`` (once per actor)."""
+    (functions/codecs.decode_wav — RIFF chunk walk dispatching on the
+    per-blob format tag: PCM-16, G.711 mu-law, or IMA ADPCM — a mixed
+    crawled corpus of uncompressed, companded and predictive-coded
+    clips needs no stage configuration): sample count, rate, integer
+    sum of |mono samples| and zero-crossing count — exact integers,
+    so the stage is oracle-checkable end to end (the audio third of
+    ``q_multimodal_features``). A model-embedding variant would load
+    its model here in ``__init__`` (once per actor)."""
 
     def __init__(self, media_col: str = "media"):
         self.media_col = media_col
