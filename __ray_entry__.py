@@ -1140,12 +1140,14 @@ def _q_multimodal_features(sf_dir: str):
     CORRECTNESS rows, and as the 51st entry the audio query silently
     got none — one joint query keeps BOTH real decode paths inside the
     gate. Round 5 makes the image column a MIXED-format corpus (the
-    realistic crawled case): even doc_ids are PNG, odd doc_ids are
-    baseline JPEG (constant grayscale at quality 100 — DC-only blocks
-    with a unit quantizer, so the full Huffman + dequantize + IDCT
-    path decodes bit-exactly and stays hash-checkable; restart markers
-    every 2 MCUs on doc_id % 4 == 3 exercise the resync path), and the
-    stage runs ``decoder="auto"`` (per-blob magic-byte sniffing). It
+    realistic crawled case): even doc_ids are PNG, doc_id % 4 == 1 is
+    COLOR 4:2:0-subsampled baseline JPEG (the dominant crawled
+    profile — chroma box-downsample + general-MCU decode + upsample;
+    constant color at quality 100 is DC-only with a unit quantizer,
+    so it decodes bit-exactly and stays hash-checkable), doc_id % 4
+    == 3 is grayscale JPEG with restart markers every 2 MCUs
+    (exercises the resync path), and the stage runs
+    ``decoder="auto"`` (per-blob magic-byte sniffing). It
     also carries the THIRD modality: a Motion-JPEG AVI clip per doc
     (2 + doc_id % 3 constant-gray frames) through the real RIFF demux
     + JPEG decode (``VideoFeatureStage``, every 2nd frame sampled) —
@@ -1186,21 +1188,26 @@ def _q_multimodal_features(sf_dir: str):
                 )
             )
             h, w = 6 + i % 3, 8 + i % 5
-            if i % 2:
+            if i % 4 == 3:
+                # grayscale baseline JPEG + restart-marker resync
                 gray = np.full((h, w), (i * 11) % 256, np.uint8)
                 imgs.append(
-                    encode_jpeg(
-                        gray,
-                        quality=100,
-                        restart_interval=2 if i % 4 == 3 else 0,
-                    )
+                    encode_jpeg(gray, quality=100, restart_interval=2)
                 )
             else:
                 img = np.empty((h, w, 3), np.uint8)
                 img[..., 0] = i % 256
                 img[..., 1] = (i * 7) % 256
                 img[..., 2] = (i * 13) % 256
-                imgs.append(encode_png(img, filter_type=i % 5))
+                if i % 4 == 1:
+                    # color 4:2:0 JPEG — the dominant crawled profile;
+                    # constant color at q=100 survives the chroma
+                    # box-downsample + DCT + upsample bit-exactly
+                    imgs.append(
+                        encode_jpeg(img, quality=100, subsampling="420")
+                    )
+                else:
+                    imgs.append(encode_png(img, filter_type=i % 5))
             n = 200 + i % 100
             k = np.arange(n, dtype=np.int64)
             if i % 2:
@@ -1983,11 +1990,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(6 + d.doc_id % 3 AS INTEGER) AS src_height,
                    CAST(8 + d.doc_id % 5 AS INTEGER) AS src_width,
-                   CAST(CASE WHEN d.doc_id % 2 = 1 THEN (d.doc_id * 11) % 256
+                   -- doc_id%4==3: gray JPEG; %4 in (0,1,2): the RGB
+                   -- constants (PNG for even, 4:2:0 JPEG for %4==1)
+                   CAST(CASE WHEN d.doc_id % 4 = 3 THEN (d.doc_id * 11) % 256
                              ELSE d.doc_id % 256 END AS DOUBLE) AS mean_r,
-                   CAST(CASE WHEN d.doc_id % 2 = 1 THEN (d.doc_id * 11) % 256
+                   CAST(CASE WHEN d.doc_id % 4 = 3 THEN (d.doc_id * 11) % 256
                              ELSE (d.doc_id * 7) % 256 END AS DOUBLE) AS mean_g,
-                   CAST(CASE WHEN d.doc_id % 2 = 1 THEN (d.doc_id * 11) % 256
+                   CAST(CASE WHEN d.doc_id % 4 = 3 THEN (d.doc_id * 11) % 256
                              ELSE (d.doc_id * 13) % 256 END AS DOUBLE) AS mean_b,
                    a.n_samples,
                    CAST(8000 + (d.doc_id % 4) * 4000 AS BIGINT) AS sample_rate,

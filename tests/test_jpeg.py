@@ -146,3 +146,78 @@ class TestJpegStage:
             e is None for i, e in enumerate(errs) if i != 3
         )
         assert out["src_height"].tolist()[0] == 20
+
+
+class TestSubsampling:
+    """4:2:2 / 4:2:0 chroma subsampling via the spec's general MCU
+    structure (T.81 A.2.3) — the dominant profile in crawled JPEGs."""
+
+    @pytest.mark.parametrize("sub", ["422", "420"])
+    def test_round_trip(self, sub):
+        img = _gradient(45, 61)
+        dec = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+        assert dec.shape == img.shape
+        assert _psnr(img, dec) > 33  # chroma is lossy, luma isn't
+
+    def test_quality_ordering_by_subsampling(self):
+        # at equal quality: 444 >= 422 >= 420 fidelity
+        img = _gradient(40, 56)
+        p = [
+            _psnr(img, decode_jpeg(encode_jpeg(img, 90, subsampling=s)))
+            for s in ("444", "422", "420")
+        ]
+        assert p[0] >= p[1] >= p[2]
+
+    def test_420_smaller_than_444(self):
+        img = _gradient(64, 64)
+        assert len(encode_jpeg(img, 90, subsampling="420")) < len(
+            encode_jpeg(img, 90, subsampling="444")
+        )
+
+    def test_constant_color_bit_exact_at_q100(self):
+        # DC-only + unit quantizer survives downsample/upsample exactly
+        # (this is what lets 4:2:0 JPEGs sit inside the SQL oracle)
+        for rgb in ((77, 77, 77), (3, 21, 39), (250, 14, 130)):
+            img = np.empty((10, 14, 3), np.uint8)
+            img[..., 0], img[..., 1], img[..., 2] = rgb
+            for sub in ("422", "420"):
+                dec = decode_jpeg(encode_jpeg(img, 100, subsampling=sub))
+                assert (dec == img).all(), (rgb, sub)
+
+    @pytest.mark.parametrize("hw", [(1, 1), (7, 9), (9, 17), (17, 25)])
+    def test_odd_dimensions(self, hw):
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (*hw, 3), dtype=np.uint8)
+        assert decode_jpeg(
+            encode_jpeg(img, 95, subsampling="420")
+        ).shape == img.shape
+
+    def test_restart_markers_with_subsampling(self):
+        img = _gradient(40, 48)
+        a = decode_jpeg(encode_jpeg(img, 90, subsampling="420"))
+        b = decode_jpeg(
+            encode_jpeg(img, 90, subsampling="420", restart_interval=2)
+        )
+        assert (a == b).all()  # resync must not change pixels
+
+    def test_444_output_unchanged_by_generalization(self):
+        # the general MCU writer must emit the identical byte stream
+        # for 1x1 factors (backward compat with round-5 golden hashes)
+        img = _gradient(24, 24)
+        blob = encode_jpeg(img, quality=85)
+        assert blob[blob.index(b"\xff\xc0") + 11] == 0x11  # hv for Y
+        assert _psnr(img, decode_jpeg(blob)) > 40
+
+    def test_unknown_subsampling_rejected(self):
+        with pytest.raises(ValueError, match="subsampling"):
+            encode_jpeg(_gradient(8, 8), subsampling="411")
+
+    def test_nonint_ratio_rejected(self):
+        # hand-craft an SOF with 3x1 luma vs 2x1 chroma (3 % 2 != 0)
+        blob = bytearray(encode_jpeg(_gradient(16, 16), subsampling="422"))
+        i = blob.index(b"\xff\xc0")
+        assert blob[i + 11] == 0x21  # luma hv
+        blob[i + 11] = 0x31
+        blob[i + 14] = 0x21  # first chroma hv: 1x1 → 2x1
+        with pytest.raises(NotImplementedError, match="non-integer"):
+            decode_jpeg(bytes(blob))

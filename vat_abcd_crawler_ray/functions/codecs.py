@@ -801,36 +801,75 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
+_SUBSAMPLING = {
+    # luma (h, v); chroma is always (1, 1)
+    "444": (1, 1),
+    "422": (2, 1),
+    "420": (2, 2),
+}
+
+
 def encode_jpeg(
-    img: np.ndarray, quality: int = 85, restart_interval: int = 0
+    img: np.ndarray,
+    quality: int = 85,
+    restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """(h, w, 3) RGB or (h, w) grayscale uint8 -> baseline JFIF bytes.
 
-    YCbCr 4:4:4 (no subsampling), Annex-K quantization scaled by
-    ``quality`` (libjpeg formula) and Annex-K typical Huffman tables.
-    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs (exercises the decoder's restart resync path)."""
+    YCbCr with ``subsampling`` "444" (no subsampling), "422"
+    (chroma halved horizontally) or "420" (halved both ways — the
+    dominant profile in crawled JPEGs; chroma is box-averaged down),
+    Annex-K quantization scaled by ``quality`` (libjpeg formula) and
+    Annex-K typical Huffman tables. ``restart_interval`` > 0 emits
+    DRI + RSTn markers every that many MCUs (exercises the decoder's
+    restart resync path)."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
         raise ValueError("encode_jpeg expects (h, w, 3) RGB or (h, w) gray")
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"subsampling must be one of {set(_SUBSAMPLING)}")
     h, w = img.shape[:2]
     if not (h and w):
         raise ValueError("empty image")
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     if gray:
-        planes = [img.astype(np.float64)]
+        factors = [(1, 1)]
+        full = [img.astype(np.float64)]
     else:
+        factors = [_SUBSAMPLING[subsampling], (1, 1), (1, 1)]
         rgb = img.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-        planes = [
+        full = [
             0.299 * r + 0.587 * g + 0.114 * b,
             128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
             128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
         ]
-    planes = [
-        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
-    ]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = []
+    for (fh, fv), p in zip(factors, full):
+        if (fh, fv) != (hmax, vmax):
+            # box-average chroma down by the sampling ratio (pad to a
+            # multiple of the ratio first so the reshape is exact)
+            ry, rx = vmax // fv, hmax // fh
+            pp = np.pad(
+                p,
+                ((0, -h % ry), (0, -w % rx)),
+                mode="edge",
+            )
+            p = pp.reshape(
+                pp.shape[0] // ry, ry, pp.shape[1] // rx, rx
+            ).mean(axis=(1, 3))
+        cph, cpw = mcus_y * fv * 8, mcus_x * fh * 8
+        planes.append(
+            np.pad(
+                p,
+                ((0, cph - p.shape[0]), (0, cpw - p.shape[1])),
+                mode="edge",
+            )
+        )
     ql, qc = _quality_tables(quality)
     qtabs = [ql] + [qc, qc][: len(planes) - 1]
     zz_per_comp = [
@@ -851,8 +890,10 @@ def encode_jpeg(
     if len(planes) > 1:
         out += _seg(0xFFDB, b"\x01" + bytes(qc.reshape(64)[_ZIGZAG].tolist()))
     sof = struct.pack(">BHHB", 8, h, w, len(planes))
-    for ci in range(len(planes)):
-        sof += struct.pack(">BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    for ci, (fh, fv) in enumerate(factors):
+        sof += struct.pack(
+            ">BBB", ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1
+        )
     out += _seg(0xFFC0, sof)
     for tc_th, (bits, vals) in (
         (0x00, (_DC_L_BITS, _DC_L_VALS)),
@@ -870,7 +911,10 @@ def encode_jpeg(
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     out += _seg(0xFFDA, sos + b"\x00\x3f\x00")
 
-    n_mcu = zz_per_comp[0].shape[0]  # 4:4:4 - one block per comp per MCU
+    # general MCU structure (ITU-T T.81 A.2.3): per MCU, each
+    # component contributes v_i x h_i blocks in raster order, indexed
+    # into that component's own block grid (mcus_y*v_i, mcus_x*h_i)
+    n_mcu = mcus_x * mcus_y
     writer = _BitWriter()
     preds = [0] * len(planes)
     rst = 0
@@ -882,10 +926,17 @@ def encode_jpeg(
             out += struct.pack(">H", 0xFFD0 + rst)
             rst = (rst + 1) & 7
             preds = [0] * len(planes)
+        my, mx = divmod(m, mcus_x)
         for ci, (dc_tab, ac_tab) in enumerate(enc_tabs):
-            preds[ci] = _encode_block(
-                writer, zz_per_comp[ci][m], preds[ci], dc_tab, ac_tab
-            )
+            fh, fv = factors[ci]
+            row_blocks = mcus_x * fh
+            for by in range(fv):
+                for bx in range(fh):
+                    bi = (my * fv + by) * row_blocks + mx * fh + bx
+                    preds[ci] = _encode_block(
+                        writer, zz_per_comp[ci][bi], preds[ci],
+                        dc_tab, ac_tab,
+                    )
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
@@ -960,10 +1011,12 @@ def _entropy_segments(data: bytes, pos: int) -> list:
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> (h, w, 3) uint8 RGB (grayscale expands).
 
-    Supports the profile :func:`encode_jpeg` emits and its spec
-    neighborhood: SOF0, 8-bit, 1 or 3 components at 1x1 sampling,
-    8-bit DQT tables, restart markers. Progressive (SOF2), other SOFn,
-    subsampled chroma and 16-bit DQT raise NotImplementedError — the
+    Supports the real-world baseline profile: SOF0, 8-bit, 1 or 3
+    components at ANY integer sampling ratio — 4:4:4, 4:2:2 and 4:2:0
+    (the dominant crawled profile) all decode via the spec's general
+    MCU structure (T.81 A.2.3), with nearest-neighbor chroma
+    upsampling. 8-bit DQT tables, restart markers. Progressive
+    (SOF2), other SOFn and 16-bit DQT raise NotImplementedError — the
     documented PIL/libjpeg seam."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -1008,11 +1061,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for ci in range(nf):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "subsampled chroma requires libjpeg (4:4:4 only)"
-                    )
-                comps.append((cid, tq))
+                fh, fv = hv >> 4, hv & 0x0F
+                if not (1 <= fh <= 4 and 1 <= fv <= 4):
+                    raise ValueError(f"bad sampling factors {fh}x{fv}")
+                comps.append((cid, fh, fv, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if any(hmax % c[1] or vmax % c[2] for c in comps):
+                # spec allows e.g. 3:2 ratios; no real encoder emits
+                # them and replication upsampling can't express them
+                raise NotImplementedError(
+                    "non-integer sampling ratios unsupported"
+                )
             if nf not in (1, 3):
                 raise NotImplementedError(f"{nf}-component JPEG unsupported")
             sof = (h, w, comps)
@@ -1036,11 +1096,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if ns != len(comps):
                 raise NotImplementedError("multi-scan JPEG unsupported")
             segs = _entropy_segments(data, pos)
-            ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-            n_mcu = (ph // 8) * (pw // 8)
-            per_comp = [np.zeros((n_mcu, 64), np.int32) for _ in comps]
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            n_mcu = mcus_x * mcus_y
+            # per component: its own block grid (mcus_y*fv, mcus_x*fh)
+            per_comp = [
+                np.zeros((mcus_y * fv * mcus_x * fh, 64), np.int32)
+                for _, fh, fv, _ in comps
+            ]
             dec_tabs = []
-            for (cid, tq), (scid, td, ta) in zip(comps, scan_tabs):
+            for (cid, fh, fv, tq), (scid, td, ta) in zip(comps, scan_tabs):
                 if cid != scid:
                     raise ValueError("SOS/SOF component order mismatch")
                 dec_tabs.append((htabs[(0, td)], htabs[(1, ta)]))
@@ -1054,23 +1120,38 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         raise ValueError("missing JPEG restart segment")
                     reader = _BitReader(segs[seg_idx])
                     preds = [0] * len(comps)
+                my, mx = divmod(m, mcus_x)
                 for ci, (dc_tab, ac_tab) in enumerate(dec_tabs):
-                    zz, preds[ci] = _decode_block(
-                        reader, preds[ci], dc_tab, ac_tab
-                    )
-                    per_comp[ci][m] = zz
+                    _, fh, fv, _ = comps[ci]
+                    row_blocks = mcus_x * fh
+                    for by in range(fv):
+                        for bx in range(fh):
+                            zz, preds[ci] = _decode_block(
+                                reader, preds[ci], dc_tab, ac_tab
+                            )
+                            bi = (my * fv + by) * row_blocks + mx * fh + bx
+                            per_comp[ci][bi] = zz
             planes = []
-            for (cid, tq), zzs in zip(comps, per_comp):
-                coeffs = np.zeros((n_mcu, 64), np.float64)
+            for (cid, fh, fv, tq), zzs in zip(comps, per_comp):
+                nb = len(zzs)
+                coeffs = np.zeros((nb, 64), np.float64)
                 coeffs[:, _ZIGZAG] = zzs
                 coeffs = coeffs.reshape(-1, 8, 8) * qtabs[tq][None, :, :]
                 px = np.einsum("xu,nuv,yv->nxy", _DCT.T, coeffs, _DCT.T)
                 plane = (
-                    px.reshape(ph // 8, pw // 8, 8, 8)
+                    px.reshape(mcus_y * fv, mcus_x * fh, 8, 8)
                     .transpose(0, 2, 1, 3)
-                    .reshape(ph, pw)
+                    .reshape(mcus_y * fv * 8, mcus_x * fh * 8)
                     + 128.0
                 )
+                # crop to the component's true extent, then replicate
+                # up to full resolution (nearest-neighbor upsampling)
+                ch = -(-h * fv // vmax)
+                cw = -(-w * fh // hmax)
+                plane = plane[:ch, :cw]
+                ry, rx = vmax // fv, hmax // fh
+                if ry > 1 or rx > 1:
+                    plane = np.repeat(np.repeat(plane, ry, 0), rx, 1)
                 planes.append(plane[:h, :w])
             if len(planes) == 1:
                 y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
