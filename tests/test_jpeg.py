@@ -90,11 +90,19 @@ class TestJpegCodec:
         _, h, w, nf = struct.unpack(">BHHB", b[i + 4 : i + 10])
         assert (h, w, nf) == (16, 16, 3)
 
-    def test_progressive_rejected(self):
+    def test_lossless_sofn_rejected(self):
         b = bytearray(encode_jpeg(_gradient(16, 16), 85))
         i = bytes(b).index(b"\xff\xc0")
-        b[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+        b[i + 1] = 0xC3  # flip SOF0 -> SOF3 (lossless)
         with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(b))
+
+    def test_mislabeled_progressive_rejected(self):
+        # SOF2 with a baseline full-band scan violates G.1.1.1.1
+        b = bytearray(encode_jpeg(_gradient(16, 16), 85))
+        i = bytes(b).index(b"\xff\xc0")
+        b[i + 1] = 0xC2
+        with pytest.raises(ValueError, match="progressive scan"):
             decode_jpeg(bytes(b))
 
     def test_corrupt_rejected(self):
@@ -221,3 +229,80 @@ class TestSubsampling:
         blob[i + 14] = 0x21  # first chroma hv: 1x1 → 2x1
         with pytest.raises(NotImplementedError, match="non-integer"):
             decode_jpeg(bytes(blob))
+
+
+class TestProgressive:
+    """SOF2 progressive: spectral selection + successive approximation.
+    The invariant under test: progressive and baseline encode the SAME
+    quantized coefficients, so their decodes must match bit-for-bit."""
+
+    @pytest.mark.parametrize("sub", ["444", "422", "420"])
+    @pytest.mark.parametrize("q", [70, 100])
+    def test_matches_baseline_exactly(self, sub, q):
+        from vat_abcd_crawler_ray.functions.codecs import (
+            encode_jpeg_progressive,
+        )
+
+        img = _gradient(45, 61)
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=q, subsampling=sub)
+        )
+        assert (base == prog).all()
+
+    def test_noise_matches_baseline(self):
+        # dense coefficients: exercises ZRL, correction bits and
+        # newly-significant insertions in the refinement scans
+        from vat_abcd_crawler_ray.functions.codecs import (
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+        assert (
+            decode_jpeg(encode_jpeg(img, 80, subsampling="420"))
+            == decode_jpeg(encode_jpeg_progressive(img, 80, subsampling="420"))
+        ).all()
+
+    def test_flat_image_long_eob_runs(self):
+        # mostly-zero AC bands: EOBn run lengths well past 1
+        from vat_abcd_crawler_ray.functions.codecs import (
+            encode_jpeg_progressive,
+        )
+
+        img = np.full((64, 96, 3), 100, np.uint8)
+        img[30, 40] = 200
+        assert (
+            decode_jpeg(encode_jpeg(img, 85))
+            == decode_jpeg(encode_jpeg_progressive(img, 85))
+        ).all()
+
+    def test_grayscale(self):
+        from vat_abcd_crawler_ray.functions.codecs import (
+            encode_jpeg_progressive,
+        )
+
+        g = _gradient(20, 30)[..., 0]
+        assert (
+            decode_jpeg(encode_jpeg(g, 85))
+            == decode_jpeg(encode_jpeg_progressive(g, 85))
+        ).all()
+
+    def test_emits_sof2_and_multiple_scans(self):
+        from vat_abcd_crawler_ray.functions.codecs import (
+            encode_jpeg_progressive,
+        )
+
+        blob = encode_jpeg_progressive(_gradient(16, 16), 85)
+        assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob
+        # DC first + DC refine + (AC first + AC refine) x 3 components
+        assert blob.count(b"\xff\xda") == 8
+
+    def test_truncated_progressive_rejected(self):
+        from vat_abcd_crawler_ray.functions.codecs import (
+            encode_jpeg_progressive,
+        )
+
+        blob = encode_jpeg_progressive(_gradient(16, 16), 85)
+        with pytest.raises(ValueError):
+            decode_jpeg(blob[: len(blob) // 2])

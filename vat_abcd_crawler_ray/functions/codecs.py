@@ -809,21 +809,12 @@ _SUBSAMPLING = {
 }
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 85,
-    restart_interval: int = 0,
-    subsampling: str = "444",
-) -> bytes:
-    """(h, w, 3) RGB or (h, w) grayscale uint8 -> baseline JFIF bytes.
-
-    YCbCr with ``subsampling`` "444" (no subsampling), "422"
-    (chroma halved horizontally) or "420" (halved both ways — the
-    dominant profile in crawled JPEGs; chroma is box-averaged down),
-    Annex-K quantization scaled by ``quality`` (libjpeg formula) and
-    Annex-K typical Huffman tables. ``restart_interval`` > 0 emits
-    DRI + RSTn markers every that many MCUs (exercises the decoder's
-    restart resync path)."""
+def _jpeg_prepare(img: np.ndarray, quality: int, subsampling: str) -> tuple:
+    """Shared forward path of both JPEG encoders: color transform,
+    chroma downsample, padding, DCT + quantization. Returns
+    (h, w, factors, hmax, vmax, mcus_x, mcus_y, ql, qc, zz_per_comp)
+    — ``zz_per_comp[ci]`` is that component's (n_blocks, 64) zigzag
+    coefficients over its padded block grid."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
@@ -875,21 +866,42 @@ def encode_jpeg(
     zz_per_comp = [
         _forward_blocks(np.clip(p, 0, 255), q) for p, q in zip(planes, qtabs)
     ]
+    return h, w, factors, hmax, vmax, mcus_x, mcus_y, ql, qc, zz_per_comp
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+) -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale uint8 -> baseline JFIF bytes.
+
+    YCbCr with ``subsampling`` "444" (no subsampling), "422"
+    (chroma halved horizontally) or "420" (halved both ways — the
+    dominant profile in crawled JPEGs; chroma is box-averaged down),
+    Annex-K quantization scaled by ``quality`` (libjpeg formula) and
+    Annex-K typical Huffman tables. ``restart_interval`` > 0 emits
+    DRI + RSTn markers every that many MCUs (exercises the decoder's
+    restart resync path)."""
+    (h, w, factors, hmax, vmax, mcus_x, mcus_y, ql, qc,
+     zz_per_comp) = _jpeg_prepare(img, quality, subsampling)
+    n_comp = len(zz_per_comp)
 
     dc_l = _huff_encode_table(_DC_L_BITS, _DC_L_VALS)
     ac_l = _huff_encode_table(_AC_L_BITS, _AC_L_VALS)
     dc_c = _huff_encode_table(_DC_C_BITS, _DC_C_VALS)
     ac_c = _huff_encode_table(_AC_C_BITS, _AC_C_VALS)
-    enc_tabs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
+    enc_tabs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (n_comp - 1)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(  # APP0 / JFIF 1.1
         0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
     )
     out += _seg(0xFFDB, b"\x00" + bytes(ql.reshape(64)[_ZIGZAG].tolist()))
-    if len(planes) > 1:
+    if n_comp > 1:
         out += _seg(0xFFDB, b"\x01" + bytes(qc.reshape(64)[_ZIGZAG].tolist()))
-    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
     for ci, (fh, fv) in enumerate(factors):
         sof += struct.pack(
             ">BBB", ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1
@@ -901,13 +913,13 @@ def encode_jpeg(
         (0x01, (_DC_C_BITS, _DC_C_VALS)),
         (0x11, (_AC_C_BITS, _AC_C_VALS)),
     ):
-        if tc_th & 0x01 and len(planes) == 1:
+        if tc_th & 0x01 and n_comp == 1:
             continue
         out += _seg(0xFFC4, bytes([tc_th] + bits + list(vals)))
     if restart_interval:
         out += _seg(0xFFDD, struct.pack(">H", restart_interval))
-    sos = bytes([len(planes)])
-    for ci in range(len(planes)):
+    sos = bytes([n_comp])
+    for ci in range(n_comp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     out += _seg(0xFFDA, sos + b"\x00\x3f\x00")
 
@@ -916,7 +928,7 @@ def encode_jpeg(
     # into that component's own block grid (mcus_y*v_i, mcus_x*h_i)
     n_mcu = mcus_x * mcus_y
     writer = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * n_comp
     rst = 0
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
@@ -925,7 +937,7 @@ def encode_jpeg(
             writer = _BitWriter()
             out += struct.pack(">H", 0xFFD0 + rst)
             rst = (rst + 1) & 7
-            preds = [0] * len(planes)
+            preds = [0] * n_comp
         my, mx = divmod(m, mcus_x)
         for ci, (dc_tab, ac_tab) in enumerate(enc_tabs):
             fh, fv = factors[ci]
@@ -940,6 +952,207 @@ def encode_jpeg(
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# progressive AC scans need EOBn symbols (0x10..0xE0) that the
+# Annex-K baseline tables lack; a flat all-length-8 canonical table
+# over every (run, size) pair used in progressive coding is valid
+# (176 codes < 255, so the all-ones length-8 code stays unused) and
+# keeps the encoder table-free. Compression is slightly worse than a
+# tuned table — irrelevant for a correctness-first codec.
+_PROG_AC_BITS = [0] * 7 + [176] + [0] * 8
+_PROG_AC_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+
+
+def _emit_eobrun(writer, ac_tab, eobrun: int, bits: list) -> None:
+    """T.81 G.1.2.2 EOBn: run length as 2^n + appended low bits, then
+    any buffered correction bits (refinement scans)."""
+    if eobrun:
+        nbits = eobrun.bit_length() - 1
+        code, ln = ac_tab[nbits << 4]
+        writer.write(code, ln)
+        if nbits:
+            writer.write(eobrun - (1 << nbits), nbits)
+        for b in bits:
+            writer.write(b, 1)
+        bits.clear()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale uint8 -> progressive (SOF2)
+    JFIF bytes.
+
+    Scan script (spectral selection + one successive-approximation
+    level, the same shape libjpeg's default script uses): interleaved
+    DC first at Al=1, DC refinement, then per component an AC 1..63
+    first scan at Al=1 and an AC refinement — so every progressive
+    decode path (EOB runs, ZRL-in-refinement, correction bits, newly
+    significant insertions) is exercised by a round trip. The
+    quantized coefficients are IDENTICAL to the baseline encoder's at
+    the same quality/subsampling, so baseline and progressive decodes
+    of the same image must match bit-for-bit — the codec's strongest
+    self-check."""
+    (h, w, factors, hmax, vmax, mcus_x, mcus_y, ql, qc,
+     zz) = _jpeg_prepare(img, quality, subsampling)
+    n_comp = len(zz)
+    comps = [
+        (ci + 1, fh, fv, 0 if ci == 0 else 1)
+        for ci, (fh, fv) in enumerate(factors)
+    ]
+    dc_enc = [_huff_encode_table(_DC_L_BITS, _DC_L_VALS)] + [
+        _huff_encode_table(_DC_C_BITS, _DC_C_VALS)
+    ] * (n_comp - 1)
+    ac_enc = _huff_encode_table(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(
+        0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += _seg(0xFFDB, b"\x00" + bytes(ql.reshape(64)[_ZIGZAG].tolist()))
+    if n_comp > 1:
+        out += _seg(0xFFDB, b"\x01" + bytes(qc.reshape(64)[_ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for cid, fh, fv, tq in comps:
+        sof += struct.pack(">BBB", cid, (fh << 4) | fv, tq)
+    out += _seg(0xFFC2, sof)  # SOF2: progressive DCT
+    out += _seg(0xFFC4, bytes([0x00] + _DC_L_BITS + list(_DC_L_VALS)))
+    if n_comp > 1:
+        out += _seg(0xFFC4, bytes([0x01] + _DC_C_BITS + list(_DC_C_VALS)))
+    out += _seg(0xFFC4, bytes([0x10] + _PROG_AC_BITS + list(_PROG_AC_VALS)))
+
+    def sos(scan_cis, ss, se, ah, al):
+        hdr = bytes([len(scan_cis)])
+        for ci in scan_cis:
+            td = 0 if ci == 0 else 1
+            hdr += bytes([ci + 1, (td << 4) | 0x00])
+        return _seg(0xFFDA, hdr + bytes([ss, se, (ah << 4) | al]))
+
+    all_cis = list(range(n_comp))
+    units = lambda cis: _scan_units(  # noqa: E731 - local shorthand
+        comps, cis, hmax, vmax, mcus_x, mcus_y, h, w
+    )
+
+    # scan 1: DC first, interleaved, successive approximation Al=1
+    out += sos(all_cis, 0, 0, 0, 1)
+    writer = _BitWriter()
+    preds: dict = {}
+    for unit in units(all_cis):
+        for ci, bi in unit:
+            v = int(zz[ci][bi][0]) >> 1  # arithmetic shift (T.81 G.1.2.1)
+            diff = v - preds.get(ci, 0)
+            preds[ci] = v
+            t = _csize(diff)
+            code, ln = dc_enc[ci][t]
+            writer.write(code, ln)
+            if t:
+                writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    writer.flush()
+    out += writer.out
+
+    # scan 2: DC refinement — one raw bit per block, no Huffman
+    out += sos(all_cis, 0, 0, 1, 0)
+    writer = _BitWriter()
+    for unit in units(all_cis):
+        for ci, bi in unit:
+            writer.write(int(zz[ci][bi][0]) & 1, 1)
+    writer.flush()
+    out += writer.out
+
+    # per component: AC first scan (band 1..63 at Al=1)
+    for ci in range(n_comp):
+        out += sos([ci], 1, 63, 0, 1)
+        writer = _BitWriter()
+        eobrun = 0
+        for unit in units([ci]):
+            (_, bi), = unit
+            band = zz[ci][bi][1:]
+            vals = np.sign(band) * (np.abs(band) >> 1)
+            nz = np.flatnonzero(vals)
+            if not len(nz):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    _emit_eobrun(writer, ac_enc, eobrun, [])
+                    eobrun = 0
+                continue
+            _emit_eobrun(writer, ac_enc, eobrun, [])
+            eobrun = 0
+            run = 0
+            for k in range(int(nz[-1]) + 1):
+                v = int(vals[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_enc[0xF0]
+                    writer.write(code, ln)
+                    run -= 16
+                t = _csize(v)
+                code, ln = ac_enc[(run << 4) | t]
+                writer.write(code, ln)
+                writer.write(v if v >= 0 else v + (1 << t) - 1, t)
+                run = 0
+            if int(nz[-1]) < 62:
+                eobrun = 1  # EOB for this block, mergeable with next
+        _emit_eobrun(writer, ac_enc, eobrun, [])
+        writer.flush()
+        out += writer.out
+
+    # per component: AC refinement (Ah=1 -> Al=0), the jcphuff
+    # algorithm: correction bits for already-significant coefficients
+    # ride along with ZRL / newly-significant emissions or the EOBn
+    for ci in range(n_comp):
+        out += sos([ci], 1, 63, 1, 0)
+        writer = _BitWriter()
+        eobrun = 0
+        pend: list = []  # correction bits buffered across the EOB run
+        for unit in units([ci]):
+            (_, bi), = unit
+            band = zz[ci][bi][1:]
+            absv = np.abs(band)
+            newly = np.flatnonzero(absv == 1)
+            eob_k = int(newly[-1]) if len(newly) else -1
+            r = 0
+            br: list = []
+            for k in range(63):
+                temp = int(absv[k])
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob_k:
+                    _emit_eobrun(writer, ac_enc, eobrun, pend)
+                    eobrun = 0
+                    code, ln = ac_enc[0xF0]
+                    writer.write(code, ln)
+                    r -= 16
+                    for b in br:
+                        writer.write(b, 1)
+                    br = []
+                if temp > 1:
+                    br.append(temp & 1)  # previously significant
+                    continue
+                _emit_eobrun(writer, ac_enc, eobrun, pend)
+                eobrun = 0
+                code, ln = ac_enc[(r << 4) | 1]
+                writer.write(code, ln)
+                writer.write(1 if int(band[k]) >= 0 else 0, 1)
+                for b in br:
+                    writer.write(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pend.extend(br)
+                if eobrun == 0x7FFF:
+                    _emit_eobrun(writer, ac_enc, eobrun, pend)
+                    eobrun = 0
+        _emit_eobrun(writer, ac_enc, eobrun, pend)
+        writer.flush()
+        out += writer.out
+
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -981,9 +1194,11 @@ def _decode_block(
     return zz, dc
 
 
-def _entropy_segments(data: bytes, pos: int) -> list:
-    """Destuffed entropy segments from SOS payload end to EOI, split at
-    restart markers. Returns list of bytes (one per restart interval)."""
+def _entropy_segments(data: bytes, pos: int) -> tuple:
+    """Destuffed entropy segments from SOS payload end to the next real
+    marker, split at restart markers. Returns (segments, marker_pos) —
+    ``marker_pos`` points at the 0xFF of the terminating marker (the
+    next SOS/DHT/EOI for progressive multi-scan files)."""
     segs, cur = [], bytearray()
     n = len(data)
     while pos < n:
@@ -1000,36 +1215,170 @@ def _entropy_segments(data: bytes, pos: int) -> list:
             segs.append(bytes(cur))
             cur = bytearray()
             pos += 2
-        elif nxt == 0xD9:  # EOI
+        else:  # any real marker ends the scan's entropy data
             break
-        else:
-            raise ValueError(f"unexpected marker FF{nxt:02X} in scan")
     segs.append(bytes(cur))
-    return segs
+    return segs, pos
+
+
+def _scan_units(comps, scan_cis, hmax, vmax, mcus_x, mcus_y, h, w):
+    """Restart-unit sequence for one scan: each unit is a list of
+    (comp_index, block_index-into-the-padded-grid) pairs.
+
+    Interleaved scans (ns > 1): one unit per MCU, each component
+    contributing fv x fh blocks (T.81 A.2.3). Non-interleaved scans
+    (ns == 1): one unit per block, iterating ONLY the component's true
+    block extent (ceil of its sampled dimensions — the MCU-padded
+    columns are not coded in single-component scans, T.81 A.2.2)."""
+    if len(scan_cis) > 1:
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            unit = []
+            for ci in scan_cis:
+                _, fh, fv, _ = comps[ci]
+                row_blocks = mcus_x * fh
+                for by in range(fv):
+                    for bx in range(fh):
+                        unit.append(
+                            (ci, (my * fv + by) * row_blocks + mx * fh + bx)
+                        )
+            yield unit
+    else:
+        ci = scan_cis[0]
+        _, fh, fv, _ = comps[ci]
+        bw = (-(-w * fh // hmax) + 7) // 8
+        bh = (-(-h * fv // vmax) + 7) // 8
+        row_blocks = mcus_x * fh
+        for by in range(bh):
+            for bx in range(bw):
+                yield [(ci, by * row_blocks + bx)]
+
+
+def _decode_scan_progressive(
+    segs, units, coef, dec_tabs, ss, se, ah, al, restart_interval
+):
+    """One progressive scan (T.81 G.2 / the public libjpeg phuff
+    algorithms) applied to the coefficient store ``coef``.
+
+    DC first: baseline DC diff coding of (coeff >> Al). DC refine: one
+    raw bit per block ORed into bit Al. AC first: EOB-run coding of
+    the Ss..Se band at precision Al. AC refine: correction bits for
+    already-significant coefficients + newly-significant insertions."""
+    reader = _BitReader(segs[0])
+    seg_idx = 0
+    preds: dict = {}
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -p1
+    for u, unit in enumerate(units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing JPEG restart segment")
+            reader = _BitReader(segs[seg_idx])
+            preds = {}
+            eobrun = 0
+        for ci, bi in unit:
+            zz = coef[ci][bi]
+            if ss == 0:  # DC scan (Se must be 0)
+                if ah == 0:
+                    t = _huff_decode(reader, dec_tabs[ci][0])
+                    preds[ci] = preds.get(ci, 0) + _extend(
+                        reader.receive(t), t
+                    )
+                    zz[0] = preds[ci] << al
+                elif reader.read_bit():
+                    zz[0] |= p1
+                continue
+            if ah == 0:  # AC first scan
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(reader, dec_tabs[ci][1])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC index overflow in scan")
+                    zz[k] = _extend(reader.receive(s), s) << al
+                    k += 1
+                continue
+            # AC refinement scan
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_decode(reader, dec_tabs[ci][1])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s:
+                        if s != 1:
+                            raise ValueError(
+                                "bad newly-significant size in AC refine"
+                            )
+                        s = p1 if reader.read_bit() else m1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    # advance r zero-history positions (16 for ZRL),
+                    # correcting already-nonzero coeffs along the way
+                    while k <= se:
+                        if zz[k]:
+                            if reader.read_bit() and not (zz[k] & p1):
+                                zz[k] += p1 if zz[k] >= 0 else m1
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if s and k <= se:
+                        zz[k] = s
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if zz[k]:
+                        if reader.read_bit() and not (zz[k] & p1):
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB (grayscale expands).
+    """JFIF bytes -> (h, w, 3) uint8 RGB (grayscale expands).
 
-    Supports the real-world baseline profile: SOF0, 8-bit, 1 or 3
-    components at ANY integer sampling ratio — 4:4:4, 4:2:2 and 4:2:0
-    (the dominant crawled profile) all decode via the spec's general
-    MCU structure (T.81 A.2.3), with nearest-neighbor chroma
-    upsampling. 8-bit DQT tables, restart markers. Progressive
-    (SOF2), other SOFn and 16-bit DQT raise NotImplementedError — the
-    documented PIL/libjpeg seam."""
+    Supports the real-world profiles: baseline SOF0 AND progressive
+    SOF2 (spectral selection + successive approximation, EOB runs),
+    8-bit, 1 or 3 components at any integer sampling ratio — 4:4:4,
+    4:2:2 and 4:2:0 all decode via the spec's general MCU structure
+    (T.81 A.2.3), with nearest-neighbor chroma upsampling. 8-bit DQT
+    tables, restart markers, multi-scan files. Extended-sequential /
+    lossless / arithmetic-coded SOFn and 16-bit DQT raise
+    NotImplementedError — the documented PIL/libjpeg seam."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple, tuple] = {}
     sof = None
+    progressive = False
     restart_interval = 0
+    coef = None  # per-comp (n_blocks, 64) int32 zigzag coefficients
+    geo = None  # (hmax, vmax, mcus_x, mcus_y)
+    saw_scan = False
     pos = 2
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker alignment")
         marker = data[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         body = data[pos + 4 : pos + 2 + seg_len]
@@ -1054,7 +1403,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + nv])
                 htabs[(tc, th)] = _huff_decode_table(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nf = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -1076,94 +1426,121 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if nf not in (1, 3):
                 raise NotImplementedError(f"{nf}-component JPEG unsupported")
             sof = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            geo = (hmax, vmax, mcus_x, mcus_y)
+            coef = [
+                np.zeros((mcus_y * fv * mcus_x * fh, 64), np.int32)
+                for _, fh, fv, _ in comps
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "non-baseline JPEG (progressive/extended/arithmetic) "
+                "non-baseline JPEG (extended/lossless/arithmetic) "
                 "requires PIL/libjpeg"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS (possibly one of many scans)
             if sof is None:
-                raise ValueError("SOS before SOF0")
-            ns = body[0]
-            scan_tabs = []
-            for ci in range(ns):
-                cid, tdta = body[1 + 2 * ci : 3 + 2 * ci]
-                scan_tabs.append((cid, tdta >> 4, tdta & 0x0F))
+                raise ValueError("SOS before SOF")
             h, w, comps = sof
-            if ns != len(comps):
-                raise NotImplementedError("multi-scan JPEG unsupported")
-            segs = _entropy_segments(data, pos)
-            hmax = max(c[1] for c in comps)
-            vmax = max(c[2] for c in comps)
-            mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-            n_mcu = mcus_x * mcus_y
-            # per component: its own block grid (mcus_y*fv, mcus_x*fh)
-            per_comp = [
-                np.zeros((mcus_y * fv * mcus_x * fh, 64), np.int32)
-                for _, fh, fv, _ in comps
-            ]
-            dec_tabs = []
-            for (cid, fh, fv, tq), (scid, td, ta) in zip(comps, scan_tabs):
-                if cid != scid:
-                    raise ValueError("SOS/SOF component order mismatch")
-                dec_tabs.append((htabs[(0, td)], htabs[(1, ta)]))
-            seg_idx = 0
-            reader = _BitReader(segs[0])
-            preds = [0] * len(comps)
-            for m in range(n_mcu):
-                if restart_interval and m and m % restart_interval == 0:
-                    seg_idx += 1
-                    if seg_idx >= len(segs):
-                        raise ValueError("missing JPEG restart segment")
-                    reader = _BitReader(segs[seg_idx])
-                    preds = [0] * len(comps)
-                my, mx = divmod(m, mcus_x)
-                for ci, (dc_tab, ac_tab) in enumerate(dec_tabs):
-                    _, fh, fv, _ = comps[ci]
-                    row_blocks = mcus_x * fh
-                    for by in range(fv):
-                        for bx in range(fh):
-                            zz, preds[ci] = _decode_block(
-                                reader, preds[ci], dc_tab, ac_tab
-                            )
-                            bi = (my * fv + by) * row_blocks + mx * fh + bx
-                            per_comp[ci][bi] = zz
-            planes = []
-            for (cid, fh, fv, tq), zzs in zip(comps, per_comp):
-                nb = len(zzs)
-                coeffs = np.zeros((nb, 64), np.float64)
-                coeffs[:, _ZIGZAG] = zzs
-                coeffs = coeffs.reshape(-1, 8, 8) * qtabs[tq][None, :, :]
-                px = np.einsum("xu,nuv,yv->nxy", _DCT.T, coeffs, _DCT.T)
-                plane = (
-                    px.reshape(mcus_y * fv, mcus_x * fh, 8, 8)
-                    .transpose(0, 2, 1, 3)
-                    .reshape(mcus_y * fv * 8, mcus_x * fh * 8)
-                    + 128.0
+            hmax, vmax, mcus_x, mcus_y = geo
+            ns = body[0]
+            scan_cis, scan_htabs = [], {}
+            by_id = {c[0]: i for i, c in enumerate(comps)}
+            for si in range(ns):
+                cid, tdta = body[1 + 2 * si : 3 + 2 * si]
+                if cid not in by_id:
+                    raise ValueError("SOS names unknown component")
+                scan_cis.append(by_id[cid])
+                scan_htabs[by_id[cid]] = (tdta >> 4, tdta & 0x0F)
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if progressive:
+                # T.81 G.1.1.1.1: DC scans are exactly Ss=Se=0; AC
+                # scans are single-component with 1 <= Ss <= Se <= 63
+                if (ss == 0) != (se == 0) or se > 63 or (
+                    ss > 0 and ns != 1
+                ):
+                    raise ValueError("bad progressive scan parameters")
+            segs, pos = _entropy_segments(data, pos)
+            units = _scan_units(
+                comps, scan_cis, hmax, vmax, mcus_x, mcus_y, h, w
+            )
+            # table needs per scan role: DC-first (and baseline) scans
+            # use a DC table, any scan touching AC coefficients uses an
+            # AC table, DC refinement uses none (raw bits)
+            dec_tabs = {}
+            for ci in scan_cis:
+                td, ta = scan_htabs[ci]
+                dc_tab, ac_tab = htabs.get((0, td)), htabs.get((1, ta))
+                if ss == 0 and ah == 0 and dc_tab is None:
+                    raise ValueError("missing DC Huffman table")
+                if se > 0 and ac_tab is None:
+                    raise ValueError("missing AC Huffman table")
+                dec_tabs[ci] = (dc_tab, ac_tab)
+            if progressive:
+                _decode_scan_progressive(
+                    segs, units, coef,
+                    {ci: dec_tabs[ci] for ci in scan_cis},
+                    ss, se, ah, al, restart_interval,
                 )
-                # crop to the component's true extent, then replicate
-                # up to full resolution (nearest-neighbor upsampling)
-                ch = -(-h * fv // vmax)
-                cw = -(-w * fh // hmax)
-                plane = plane[:ch, :cw]
-                ry, rx = vmax // fv, hmax // fh
-                if ry > 1 or rx > 1:
-                    plane = np.repeat(np.repeat(plane, ry, 0), rx, 1)
-                planes.append(plane[:h, :w])
-            if len(planes) == 1:
-                y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-                return np.repeat(y[:, :, None], 3, axis=2)
-            y, cb, cr = planes
-            r = y + 1.402 * (cr - 128.0)
-            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-            b = y + 1.772 * (cb - 128.0)
-            rgb = np.stack([r, g, b], axis=2)
-            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+            else:
+                if ss != 0 or se != 63:
+                    raise ValueError("bad spectral band in baseline scan")
+                reader = _BitReader(segs[0])
+                seg_idx = 0
+                preds = {ci: 0 for ci in scan_cis}
+                for u, unit in enumerate(units):
+                    if restart_interval and u and u % restart_interval == 0:
+                        seg_idx += 1
+                        if seg_idx >= len(segs):
+                            raise ValueError("missing JPEG restart segment")
+                        reader = _BitReader(segs[seg_idx])
+                        preds = {ci: 0 for ci in scan_cis}
+                    for ci, bi in unit:
+                        zz, preds[ci] = _decode_block(
+                            reader, preds[ci], *dec_tabs[ci]
+                        )
+                        coef[ci][bi] = zz
+            saw_scan = True
+            continue  # marker walk resumes at the scan terminator
         # all other markers (APPn, COM): payload already skipped
-    raise ValueError("no SOS marker found")
+    if sof is None or not saw_scan:
+        raise ValueError("no SOS marker found")
+    h, w, comps = sof
+    hmax, vmax, mcus_x, mcus_y = geo
+    planes = []
+    for (cid, fh, fv, tq), zzs in zip(comps, coef):
+        nb = len(zzs)
+        coeffs = np.zeros((nb, 64), np.float64)
+        coeffs[:, _ZIGZAG] = zzs
+        coeffs = coeffs.reshape(-1, 8, 8) * qtabs[tq][None, :, :]
+        px = np.einsum("xu,nuv,yv->nxy", _DCT.T, coeffs, _DCT.T)
+        plane = (
+            px.reshape(mcus_y * fv, mcus_x * fh, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(mcus_y * fv * 8, mcus_x * fh * 8)
+            + 128.0
+        )
+        # crop to the component's true extent, then replicate
+        # up to full resolution (nearest-neighbor upsampling)
+        ch = -(-h * fv // vmax)
+        cw = -(-w * fh // hmax)
+        plane = plane[:ch, :cw]
+        ry, rx = vmax // fv, hmax // fh
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, 0), rx, 1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
