@@ -9,9 +9,10 @@ Decoders, by honesty level:
   unfilter (all five PNG filters), CRC-checked, gray/palette/alpha
   normalized to RGB.
 - ``decoder="jpeg"`` (images) is a REAL entropy-coded decode path:
-  functions/codecs.decode_jpeg — baseline sequential DCT (SOF0;
-  grayscale, 4:4:4, 4:2:2 and 4:2:0 chroma), Huffman decode,
-  dequantize + IDCT, restart markers; progressive raises
+  functions/codecs.decode_jpeg — baseline SOF0 AND progressive SOF2
+  (spectral selection + successive approximation); grayscale, 4:4:4,
+  4:2:2 and 4:2:0 chroma; Huffman decode, dequantize + IDCT, restart
+  markers, multi-scan. Extended/lossless/arithmetic SOFn raise
   NotImplementedError.
 - ``decoder="ppm"`` (images) and the WAV audio stage are REAL,
   library-free decode paths (functions/codecs.py: netpbm header
@@ -24,8 +25,8 @@ Decoders, by honesty level:
 - ``decoder="fake"`` is a deterministic content-derived stand-in
   (tests and format-agnostic plumbing checks).
 - ``decoder="real"`` marks the seam where PIL/ffmpeg would decode
-  the remaining formats (progressive JPEG, MP4) — not in this
-  container, raises ``NotImplementedError``.
+  the remaining formats (arithmetic-coded JPEG, WebP/AVIF, MP4) —
+  not in this container, raises ``NotImplementedError``.
 
 At 100 TB: media bytes dominate block size → run these stages with
 small ``batch_size`` (16-64) and ``batch_format="pyarrow"`` so the
@@ -86,10 +87,11 @@ class DecodeImageStage:
         if decoder == "real":
             # the real path would `import PIL.Image` here (once per actor)
             raise NotImplementedError(
-                "progressive JPEG decoding requires PIL/libvips — not "
-                "in this container; use decoder='jpeg' for baseline JPEG "
-                "(4:4:4/4:2:2/4:2:0, functions/codecs.decode_jpeg), "
-                "decoder='png' for PNG bytes, or decoder='ppm' for netpbm"
+                "arithmetic-coded JPEG / WebP / AVIF decoding requires "
+                "PIL/libvips — not in this container; use decoder='jpeg' "
+                "for baseline or progressive JPEG (any integer chroma "
+                "sampling, functions/codecs.decode_jpeg), decoder='png' "
+                "for PNG bytes, or decoder='ppm' for netpbm"
             )
 
     def _decode(self, blob: bytes) -> tuple[np.ndarray, int, int, str | None]:
@@ -102,7 +104,7 @@ class DecodeImageStage:
                 img = _REAL_DECODERS[
                     _sniff_format(blob) if self.decoder == "auto" else self.decoder
                 ](blob)
-            # NotImplementedError too: a progressive JPEG in
+            # NotImplementedError too: an exotic-profile blob in
             # a crawled corpus is DATA, not configuration — it
             # dead-letters like any corrupt blob instead of killing the
             # task (C2 soft-error model)
