@@ -227,3 +227,87 @@ def test_decode_image_stage_png_path():
     from vat_abcd_crawler_ray.functions.codecs import resize_nearest
 
     assert (px == resize_nearest(img, (8, 8))).all()
+
+
+class TestResizeBilinear:
+    """Half-pixel-center bilinear resize (the model-preprocessor
+    convention), vectorized."""
+
+    def test_identity(self):
+        import numpy as np
+
+        from vat_abcd_crawler_ray.functions.codecs import resize_bilinear
+
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, (12, 17, 3), dtype=np.uint8)
+        assert (resize_bilinear(img, (12, 17)) == img).all()
+
+    def test_constant_stays_constant(self):
+        import numpy as np
+
+        from vat_abcd_crawler_ray.functions.codecs import resize_bilinear
+
+        img = np.full((9, 7, 3), 123, np.uint8)
+        assert (resize_bilinear(img, (16, 16)) == 123).all()
+
+    def test_downsample_averages(self):
+        import numpy as np
+
+        from vat_abcd_crawler_ray.functions.codecs import resize_bilinear
+
+        # 2x2 checkerboard of 0/255 downsampled 2:1 with half-pixel
+        # centers lands exactly between the four pixels -> mean 128
+        img = np.zeros((2, 2), np.uint8)
+        img[0, 1] = img[1, 0] = 255
+        out = resize_bilinear(img, (1, 1))
+        assert out.shape == (1, 1) and abs(int(out[0, 0]) - 128) <= 1
+
+    def test_gradient_smoother_than_nearest(self):
+        import numpy as np
+
+        from vat_abcd_crawler_ray.functions.codecs import (
+            resize_bilinear,
+            resize_nearest,
+        )
+
+        ramp = np.tile(np.arange(0, 256, 16, dtype=np.uint8), (4, 1))
+        up_b = resize_bilinear(ramp, (4, 64)).astype(int)
+        up_n = resize_nearest(ramp, (4, 64)).astype(int)
+        # bilinear interpolates between samples; nearest steps
+        assert np.abs(np.diff(up_b[0])).max() < np.abs(np.diff(up_n[0])).max()
+
+    def test_gray_and_color_shapes(self):
+        import numpy as np
+
+        from vat_abcd_crawler_ray.functions.codecs import resize_bilinear
+
+        g = np.arange(30, dtype=np.uint8).reshape(5, 6)
+        assert resize_bilinear(g, (10, 3)).shape == (10, 3)
+        c = np.dstack([g, g, g])
+        assert resize_bilinear(c, (7, 11)).shape == (7, 11, 3)
+
+    def test_stage_accepts_resample(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from vat_abcd_crawler_ray.functions.codecs import encode_png
+        from vat_abcd_crawler_ray.stages.multimodal import DecodeImageStage
+
+        img = np.full((8, 8, 3), 55, np.uint8)
+        t = pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "media": pa.array([encode_png(img)], pa.binary()),
+        })
+        out = DecodeImageStage(
+            out_hw=(4, 4), decoder="png", resample="bilinear"
+        )(t)
+        px = np.asarray(out["pixels"].to_pylist()[0]).reshape(4, 4, 3)
+        assert (px == 55).all()  # constant image: bilinear == nearest
+
+    def test_bad_resample_rejected(self):
+        import pytest
+
+        from vat_abcd_crawler_ray.stages.multimodal import DecodeImageStage
+
+        with pytest.raises(ValueError, match="resample"):
+            DecodeImageStage(resample="lanczos")

@@ -94,6 +94,32 @@ def resize_nearest(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
     return img[ri][:, ci]
 
 
+def resize_bilinear(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """Bilinear resize with half-pixel-center alignment (the convention
+    model-input preprocessors use), fully vectorized: two gathers + a
+    separable lerp per axis. uint8 in → uint8 out (rounded)."""
+    oh, ow = out_hw
+    h, w = img.shape[:2]
+    # half-pixel centers: out pixel i samples src at (i + .5)*scale - .5
+    fy = np.clip((np.arange(oh) + 0.5) * (h / oh) - 0.5, 0, h - 1)
+    fx = np.clip((np.arange(ow) + 0.5) * (w / ow) - 0.5, 0, w - 1)
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[:, None, None] if img.ndim == 3 else (fy - y0)[:, None]
+    wx = (fx - x0)[None, :, None] if img.ndim == 3 else (fx - x0)[None, :]
+    a = img[y0].astype(np.float64)
+    b = img[y1].astype(np.float64)
+    rows = a + (b - a) * wy  # lerp along y at full width
+    left = rows[:, x0]
+    right = rows[:, x1]
+    out = left + (right - left) * wx
+    if img.dtype == np.uint8:
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return out.astype(img.dtype)
+
+
 # ---------------------------------------------------------------------------
 # WAV (RIFF PCM-16)
 # ---------------------------------------------------------------------------

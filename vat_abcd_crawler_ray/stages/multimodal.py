@@ -80,10 +80,18 @@ class DecodeImageStage:
     """
 
     def __init__(self, media_col: str = "media", out_hw: tuple[int, int] = (32, 32),
-                 decoder: str = "fake"):
+                 decoder: str = "fake", resample: str = "nearest"):
+        from ..functions.codecs import resize_bilinear
+
         self.media_col = media_col
         self.h, self.w = out_hw
         self.decoder = decoder
+        if resample not in ("nearest", "bilinear"):
+            raise ValueError(f"unknown resample {resample!r}")
+        # bilinear = half-pixel-center lerp, the model-input
+        # preprocessing convention; nearest keeps constant-color
+        # images exact (what the hash oracle relies on)
+        self._resize = resize_nearest if resample == "nearest" else resize_bilinear
         if decoder == "real":
             # the real path would `import PIL.Image` here (once per actor)
             raise NotImplementedError(
@@ -116,7 +124,7 @@ class DecodeImageStage:
                     f"DecodeError: {exc}",
                 )
             sh, sw = img.shape[:2]
-            return resize_nearest(img, (self.h, self.w)), sh, sw, None
+            return self._resize(img, (self.h, self.w)), sh, sw, None
         return _fake_pixels(blob, self.h, self.w), self.h, self.w, None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
