@@ -227,6 +227,96 @@ def _bench_queries(sf_dir: str, num_cpus: int) -> tuple[dict, dict]:
     knn_lsh(emb, queries_2k, k=10, n_bits=6).count()
     timings["knn_lsh_q2k"] = time.perf_counter() - t0
 
+    # -- multimodal: the full media decode spine over a mixed-format
+    # corpus (PNG / 4:2:0 JPEG / grayscale JPEG images via auto-sniff,
+    # PCM / mu-law audio, MJPEG-AVI video), synthesized inside the
+    # same task wave — 8k docs ≈ the per-round media volume of a
+    # 100-TB shard's sample stage. Actor pools sized to share the
+    # node with the synth tasks.
+    import numpy as np
+    import pyarrow as pa
+
+    from vat_abcd_crawler_ray.functions.codecs import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+        encode_png,
+        encode_wav,
+        encode_wav_mulaw,
+    )
+    from vat_abcd_crawler_ray.stages.multimodal import (
+        AudioFeatureStage,
+        DecodeImageStage,
+        VideoFeatureStage,
+    )
+
+    n_media = int(os.environ.get("BENCH_MEDIA_DOCS", "8000"))
+
+    def to_media(b):
+        ids = b["id"].to_numpy()
+        imgs, wavs, vids = [], [], []
+        for i in ids.tolist():
+            img = np.full((8, 10, 3), (i * 7) % 256, np.uint8)
+            g = np.full((8, 8), (i * 11) % 256, np.uint8)
+            imgs.append(
+                encode_png(img)
+                if i % 3 == 0
+                else encode_jpeg(img, quality=100, subsampling="420")
+                if i % 3 == 1
+                else encode_jpeg(g, quality=100)
+            )
+            k = np.arange(200, dtype=np.int64)
+            wavs.append(
+                encode_wav(((i * 31 + k * 7) % 2048 - 1024).astype(np.int16))
+                if i % 2
+                else encode_wav_mulaw(((i * 37 + k * 11) % 256).astype(np.uint8))
+            )
+            vids.append(
+                encode_avi_mjpeg([encode_jpeg(g, quality=100)] * 2, 8, 8)
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "media": pa.array(imgs, pa.binary()),
+                "wav": pa.array(wavs, pa.binary()),
+                "video": pa.array(vids, pa.binary()),
+            }
+        )
+
+    pool = max(2, num_cpus // 4)
+    t0 = time.perf_counter()
+    n_ok = (
+        ray.data.range(n_media, override_num_blocks=num_cpus * 2)
+        .map_batches(to_media, batch_format="pyarrow")
+        .map_batches(
+            DecodeImageStage,
+            fn_constructor_kwargs={"out_hw": (16, 16), "decoder": "auto"},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=pool,
+            num_cpus=1,
+        )
+        .map_batches(
+            AudioFeatureStage,
+            fn_constructor_kwargs={"media_col": "wav"},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=pool,
+            num_cpus=1,
+        )
+        .map_batches(
+            VideoFeatureStage,
+            fn_constructor_kwargs={"media_col": "video"},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=pool,
+            num_cpus=1,
+        )
+        .count()
+    )
+    timings["multimodal"] = time.perf_counter() - t0
+    assert n_ok == n_media
+    derived["media_docs_per_sec"] = round(n_media / timings["multimodal"], 1)
+
     ray.shutdown()
     return timings, derived
 
@@ -330,7 +420,12 @@ def run_once() -> dict:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     return {
         "metric": "e2e_bench_sec",
-        "value": round(sum(timings.values()), 2),
+        # headline stays the sum of the six round-1..4 queries so the
+        # e2e number remains comparable round-over-round; the round-5
+        # multimodal line is reported per-query + as media_docs_per_sec
+        "value": round(
+            sum(v for k, v in timings.items() if k != "multimodal"), 2
+        ),
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
@@ -583,11 +678,23 @@ def run_scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
-    elif "--crawl-big" in sys.argv:
-        sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-        print(json.dumps(_bench_crawl_big(sf_dir, num_cpus)))
-    else:
-        print(json.dumps(run_once()))
+    # the driver parses stdout as ONE JSON line, but some raylet
+    # notices (e.g. the worker-pool-size warning) reach fd 1 even with
+    # log_to_driver=False + logging_level=ERROR. Park fd 1 on stderr
+    # for the whole benchmark and restore it only for the JSON print.
+    _saved_stdout = os.dup(1)
+    os.dup2(2, 1)
+    try:
+        if "--scaling" in sys.argv:
+            result = run_scaling()
+        elif "--crawl-big" in sys.argv:
+            sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+            num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+            result = _bench_crawl_big(sf_dir, num_cpus)
+        else:
+            result = run_once()
+    finally:
+        sys.stdout.flush()
+        os.dup2(_saved_stdout, 1)
+        os.close(_saved_stdout)
+    print(json.dumps(result))
