@@ -829,14 +829,26 @@ def _q_quality(sf_dir: str):
 
 
 def _q_langid(sf_dir: str):
+    """Language ID per doc, CHAINED with the deterministic train/val/
+    test assignment (``ops/sampling.add_split_column``) so the
+    hash-threshold sampling family sits inside the 50-row correctness
+    gate without a 51st query: the split's Carter-Wegman hash is exact
+    mod-(2^31-1) int64 arithmetic, restated with literal (a, b) in the
+    oracle SQL — a bias or threshold bug breaks the hash."""
     from vat_abcd_crawler_ray.functions.textstats import langid
+    from vat_abcd_crawler_ray.ops.sampling import add_split_column
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": langid(df["text"])})
 
-    return docs.map_batches(f, batch_format="pandas")
+    return add_split_column(
+        docs.map_batches(f, batch_format="pandas"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt=11,
+    )
 
 
 def _q_embed_neardup(sf_dir: str):
@@ -1898,7 +1910,16 @@ def oracle_sql() -> dict[str, str]:
               FROM w)
             SELECT doc_id,
                    CASE WHEN c_en >= c_de AND c_en >= c_fr THEN 'en'
-                        WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS lang_pred
+                        WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS lang_pred,
+                   -- ops/sampling Carter-Wegman hash, salt=11 params
+                   -- as literals; thresholds 0.8 / 0.1 / 0.1
+                   CASE WHEN (774252442 * (doc_id % 2147483647)
+                              + 293375679) % 2147483647
+                             < 0.8 * 2147483647 THEN 'train'
+                        WHEN (774252442 * (doc_id % 2147483647)
+                              + 293375679) % 2147483647
+                             < 0.9 * 2147483647 THEN 'val'
+                        ELSE 'test' END AS split
             FROM c
         """,
         "q_fingerprint": """
