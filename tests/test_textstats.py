@@ -61,3 +61,60 @@ def test_fingerprint_deterministic_and_order_sensitive():
     assert a[0] != c[0]
     # stable across calls/processes (no Python hash randomization)
     assert fingerprint(pd.Series(["one two three"]))[0] == a[0]
+
+
+class TestScrubPII:
+    """C4/RefinedWeb-style PII redaction with stable tokens."""
+
+    def _scrub(self, *texts):
+        import pandas as pd
+
+        from vat_abcd_crawler_ray.functions.textstats import scrub_pii
+
+        return scrub_pii(pd.Series(list(texts)))
+
+    def test_email(self):
+        df = self._scrub("mail bob.smith+tag@sub.example.co.uk now")
+        assert df["text"][0] == "mail <EMAIL> now"
+        assert df["n_email"][0] == 1
+
+    def test_phone_formats(self):
+        for t in ("+1 (415) 555-0134", "0049 89 123456", "415-555-0134"):
+            df = self._scrub(f"call {t} today")
+            assert df["text"][0] == "call <PHONE> today", t
+
+    def test_ipv4_bounds(self):
+        df = self._scrub("at 192.168.1.254 not 999.999.1.1 or 1.2.3")
+        assert "<IP>" in df["text"][0]
+        assert "999.999.1.1" in df["text"][0]  # not a valid octet run
+        assert df["n_ip"][0] == 1
+
+    def test_card_like(self):
+        df = self._scrub("pay 4111 1111 1111 1111 or 4111-1111-1111-1111")
+        assert df["text"][0].count("<CARD>") == 2
+
+    def test_plain_numbers_survive(self):
+        df = self._scrub("42 words, 3.14159, port 8080, year 2024")
+        assert df["text"][0] == "42 words, 3.14159, port 8080, year 2024"
+        assert (df.drop(columns="text").iloc[0] == 0).all()
+
+    def test_stable_tokens_keep_dedup_equality(self):
+        # two docs equal up to their PII scrub to identical strings
+        a = self._scrub("reach me: alice@a.com / +1 415 555 0134 ok")
+        b = self._scrub("reach me: bob@b.org / +44 20 7946 0958 ok")
+        assert a["text"][0] == b["text"][0]
+
+    def test_counts_feed_quality_filters(self):
+        df = self._scrub(
+            "a@b.co c@d.co e@f.co", "one a@b.co in prose about things"
+        )
+        assert df["n_email"][0] == 3 and df["n_email"][1] == 1
+
+    def test_null_safe(self):
+        import pandas as pd
+
+        from vat_abcd_crawler_ray.functions.textstats import scrub_pii
+
+        df = scrub_pii(pd.Series(["x a@b.co", None]))
+        assert df["text"][0] == "x <EMAIL>"
+        assert pd.isna(df["text"][1]) and df["n_email"][1] == 0

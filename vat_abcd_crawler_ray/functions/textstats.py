@@ -167,3 +167,43 @@ def fingerprint(texts: pd.Series) -> np.ndarray:
                         count=len(toks))
         out[i] = _poly_fold(v, _FP_B)
     return out
+
+
+# -- PII scrubbing (C4/RefinedWeb-style curation stage) ---------------------
+# Conservative pattern set: emails, international-ish phone numbers,
+# IPv4 addresses, IBAN-shaped strings, 13-19 digit card-like runs.
+# Replacement tokens are stable so scrubbed text stays dedup-friendly
+# (two docs equal up to PII remain equal after scrubbing).
+
+_PII_PATTERNS: list[tuple[str, re.Pattern]] = [
+    ("EMAIL", re.compile(
+        r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b")),
+    ("IP", re.compile(
+        r"\b(?:(?:25[0-5]|2[0-4]\d|1?\d?\d)\.){3}"
+        r"(?:25[0-5]|2[0-4]\d|1?\d?\d)\b")),
+    ("IBAN", re.compile(r"\b[A-Z]{2}\d{2}(?: ?[A-Z0-9]{4}){3,7}\b")),
+    # card-like: 13-19 digits with optional single spaces/dashes,
+    # grouped — ordered before PHONE so it wins on long digit runs
+    ("CARD", re.compile(r"\b\d{4}(?:[ -]?\d{4}){2,3}\b")),
+    ("PHONE", re.compile(
+        r"(?<![\w.])\+?\d{1,3}[ -.]?\(?\d{2,4}\)?(?:[ -.]?\d{2,4}){2,4}"
+        r"(?![\w.])")),
+]
+
+
+def scrub_pii(texts: pd.Series) -> pd.DataFrame:
+    """Redact PII spans with stable ``<TYPE>`` tokens. Returns a frame
+    with ``text`` (scrubbed) and one ``n_<type>`` count column per
+    pattern — counts feed quality filters (a page that is mostly
+    phone numbers is a directory, not prose). Compiled patterns at
+    module import (once per worker); vectorized ``str.count`` /
+    ``str.replace`` per pattern — no per-row Python."""
+    out = pd.DataFrame(index=texts.index)
+    scrubbed = texts
+    for name, pat in _PII_PATTERNS:
+        out[f"n_{name.lower()}"] = (
+            scrubbed.str.count(pat).fillna(0).astype(np.int64)
+        )
+        scrubbed = scrubbed.str.replace(pat, f"<{name}>", regex=True)
+    out.insert(0, "text", scrubbed)
+    return out
