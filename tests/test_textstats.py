@@ -118,3 +118,61 @@ class TestScrubPII:
         df = scrub_pii(pd.Series(["x a@b.co", None]))
         assert df["text"][0] == "x <EMAIL>"
         assert pd.isna(df["text"][1]) and df["n_email"][1] == 0
+
+
+class TestCleanLines:
+    """C4-style line filtering (Raffel et al. 2020 heuristics)."""
+
+    def _clean(self, *texts, **kw):
+        import pandas as pd
+
+        from vat_abcd_crawler_ray.functions.textstats import clean_lines
+
+        return clean_lines(pd.Series(list(texts)), **kw)
+
+    def test_keeps_real_sentences(self):
+        df = self._clean("This is a proper sentence that survives.")
+        assert df["text"][0] == "This is a proper sentence that survives."
+        assert df["n_kept"][0] == df["n_lines"][0] == 1
+
+    def test_drops_nav_and_banners(self):
+        df = self._clean(
+            "Good opening sentence stays right here.\n"
+            "Home | About | Contact\n"
+            "Enable javascript to continue please sir.\n"
+            "We use cookie consent tracking everywhere okay.\n"
+            "Closing sentence also stays intact."
+        )
+        assert df["n_lines"][0] == 5 and df["n_kept"][0] == 2
+        assert "javascript" not in df["text"][0]
+        assert "|" not in df["text"][0]
+
+    def test_min_words(self):
+        df = self._clean("Too short.\nThis sentence has enough words.")
+        assert df["text"][0] == "This sentence has enough words."
+        df2 = self._clean("Too short.", min_words=2)
+        assert df2["text"][0] == "Too short."
+
+    def test_terminal_punctuation_optional(self):
+        t = "a heading without any final punctuation at all"
+        assert self._clean(t)["n_kept"][0] == 0
+        assert self._clean(t, require_terminal=False)["n_kept"][0] == 1
+
+    def test_code_fragments_dropped(self):
+        df = self._clean('function f() { return "this is not prose"; }')
+        assert df["n_kept"][0] == 0
+
+    def test_empty_and_null_safe(self):
+        import pandas as pd
+
+        from vat_abcd_crawler_ray.functions.textstats import clean_lines
+
+        df = clean_lines(pd.Series(["", None, "A fine sentence endures."]))
+        assert list(df["n_kept"]) == [0, 0, 1]
+        assert df["text"][2] == "A fine sentence endures."
+
+    def test_counts_support_page_filters(self):
+        # C4 drops pages with too few surviving sentences — the counts
+        # are the page-level signal
+        df = self._clean("x\ny\nz", "One good line ends properly here.")
+        assert df["n_kept"][0] == 0 and df["n_kept"][1] == 1

@@ -207,3 +207,43 @@ def scrub_pii(texts: pd.Series) -> pd.DataFrame:
         scrubbed = scrubbed.str.replace(pat, f"<{name}>", regex=True)
     out.insert(0, "text", scrubbed)
     return out
+
+
+# -- line-level cleaning (C4-style heuristics, Raffel et al. 2020) ----------
+
+_TERMINAL = re.compile(r'[.!?"”]\s*$')
+_LINE_BLOCKLIST = ("javascript", "lorem ipsum", "cookie", "{")
+
+
+def clean_lines(
+    texts: pd.Series,
+    min_words: int = 3,
+    require_terminal: bool = True,
+    blocklist: tuple = _LINE_BLOCKLIST,
+) -> pd.DataFrame:
+    """C4-style line filtering: keep lines with at least ``min_words``
+    words that end in terminal punctuation and contain no blocklisted
+    marker (nav bars, cookie banners, code fragments). Returns
+    ``text`` (kept lines re-joined) + ``n_lines`` / ``n_kept`` counts
+    for page-level filtering downstream (C4 drops pages with too few
+    surviving sentences). Vectorized: one explode to line level, one
+    boolean mask, one groupby re-join — no per-row Python."""
+    lines = texts.fillna("").str.split("\n").explode()
+    stripped = lines.str.strip()
+    keep = stripped.str.count(_TOKEN) >= min_words
+    if require_terminal:
+        keep &= stripped.str.contains(_TERMINAL)
+    low = stripped.str.lower()
+    for marker in blocklist:
+        keep &= ~low.str.contains(marker, regex=False)
+    kept = stripped[keep]
+    joined = kept.groupby(level=0).agg("\n".join)
+    out = pd.DataFrame(index=texts.index)
+    out["text"] = joined.reindex(texts.index, fill_value="")
+    out["n_lines"] = stripped.groupby(level=0).size().reindex(
+        texts.index, fill_value=0
+    ).astype(np.int64)
+    out["n_kept"] = keep.groupby(level=0).sum().reindex(
+        texts.index, fill_value=0
+    ).astype(np.int64)
+    return out
