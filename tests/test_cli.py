@@ -132,3 +132,36 @@ def test_cli_leaves_session_alive(docs_parquet, tmp_path, capsys,
     cli.main(["textstats", "--input", docs_parquet,
               "--out", str(tmp_path / "ts2")])
     assert ray.is_initialized()
+
+
+def test_cli_curate_full_chain(docs_parquet, tmp_path, capsys, ray_session):
+    """curate = clean_lines → scrub_pii → sample → split → pack, all
+    deterministic; output columns and invariants checked end to end."""
+    out_dir = str(tmp_path / "curated")
+    rc = cli.main([
+        "curate", "--input", docs_parquet, "--out", out_dir,
+        "--keep-unterminated",
+        "--sample", "0.9", "--splits", "train=0.8,val=0.2",
+        "--salt", "3", "--pack-budget", "256",
+    ])
+    assert rc == 0
+    got = _read_dir(out_dir)
+    src = pd.read_parquet(docs_parquet)
+    # sampled subset of source ids, with every curation column present
+    assert 0 < len(got) <= len(src)
+    assert set(got["doc_id"]) <= set(src["doc_id"])
+    for col in ("text", "n_lines", "n_kept", "n_email", "n_tokens",
+                "split", "pack_id", "pack_offset", "oversize"):
+        assert col in got.columns, col
+    assert set(got["split"]) <= {"train", "val"}
+    fills = got[~got.oversize].groupby("pack_id")["n_tokens"].sum()
+    assert (fills <= 256).all()
+    # determinism: a second run selects the identical sample
+    out2 = str(tmp_path / "curated2")
+    cli.main([
+        "curate", "--input", docs_parquet, "--out", out2,
+        "--keep-unterminated",
+        "--sample", "0.9", "--splits", "train=0.8,val=0.2",
+        "--salt", "3", "--pack-budget", "256",
+    ])
+    assert sorted(_read_dir(out2)["doc_id"]) == sorted(got["doc_id"])

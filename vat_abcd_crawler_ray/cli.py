@@ -187,6 +187,61 @@ def cmd_textstats(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """One-pass web-corpus curation: C4 line cleaning → PII scrub →
+    token count, then optional deterministic sampling, train/val/test
+    split labels and sequence packing — the standard
+    filter-sample-pack chain over a parquet documents table."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from .functions import textstats as ts
+    from .ops.packing import pack_sequences
+    from .ops.sampling import add_split_column, sample_by_hash
+
+    owned = _init_ray(args.num_cpus)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    ds = ray.data.read_parquet(
+        args.input, columns=[args.id_col, args.text_col],
+        override_num_blocks=ncpu * 2,
+    )
+    id_col, text_col = args.id_col, args.text_col
+    require_terminal = not args.keep_unterminated
+
+    def curate(df: pd.DataFrame) -> pd.DataFrame:
+        cl = ts.clean_lines(
+            df[text_col], require_terminal=require_terminal
+        ).reset_index(drop=True)
+        sc = ts.scrub_pii(cl["text"]).reset_index(drop=True)
+        out = pd.DataFrame({id_col: df[id_col].reset_index(drop=True)})
+        out["text"] = sc["text"]
+        out["n_lines"] = cl["n_lines"]
+        out["n_kept"] = cl["n_kept"]
+        for c in sc.columns:
+            if c != "text":
+                out[c] = sc[c]
+        out["n_tokens"] = ts.token_count(sc["text"])
+        return out
+
+    ds = ds.map_batches(curate, batch_format="pandas")
+    if args.sample < 1.0:
+        ds = sample_by_hash(ds, id_col, args.sample, salt=args.salt)
+    if args.splits:
+        fractions = {}
+        for part in args.splits.split(","):
+            name, frac = part.split("=")
+            fractions[name.strip()] = float(frac)
+        ds = add_split_column(ds, id_col, fractions, salt=args.salt)
+    if args.pack_budget:
+        ds = pack_sequences(ds, "n_tokens", args.pack_budget, id_col=id_col)
+    ds.write_parquet(args.out)
+    json.dump({"out": args.out}, sys.stdout)
+    print()
+    _shutdown_ray(owned)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="vat_abcd_crawler_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -266,6 +321,35 @@ def main(argv: list[str] | None = None) -> int:
     x.add_argument("--id-col", default="doc_id")
     x.add_argument("--num-cpus", type=int, default=None)
     x.set_defaults(fn=cmd_textstats)
+
+    cu = sub.add_parser(
+        "curate",
+        help="line-clean + PII-scrub + sample/split/pack a documents "
+        "table → curated parquet",
+    )
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--num-cpus", type=int, default=None)
+    cu.add_argument(
+        "--sample", type=float, default=1.0,
+        help="deterministic keep fraction (hash-threshold)",
+    )
+    cu.add_argument(
+        "--splits", default=None,
+        help='split fractions, e.g. "train=0.9,val=0.05,test=0.05"',
+    )
+    cu.add_argument("--salt", type=int, default=0)
+    cu.add_argument(
+        "--pack-budget", type=int, default=None,
+        help="pack docs into token-budget bins (adds pack_id/offset)",
+    )
+    cu.add_argument(
+        "--keep-unterminated", action="store_true",
+        help="keep lines without terminal punctuation (C4 drops them)",
+    )
+    cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)
