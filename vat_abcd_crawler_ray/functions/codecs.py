@@ -85,6 +85,18 @@ def decode_ppm(data: bytes) -> np.ndarray:
     return img
 
 
+# Decompression-bomb guard shared by all image decoders: a crawled
+# corpus WILL contain blobs whose dimension fields claim gigapixel
+# canvases (fuzzing reproduces it) — allocating them OOM-kills the
+# actor instead of dead-lettering the row. 2^26 px = 192 MB RGB.
+_MAX_PIXELS = 1 << 26
+
+
+def _check_dims(w: int, h: int, what: str) -> None:
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise ValueError(f"{what} dimensions {w}x{h} out of bounds")
+
+
 def resize_nearest(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
     """Nearest-neighbor resize by strided index sampling (pure numpy)."""
     oh, ow = out_hw
@@ -542,6 +554,7 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, ctype_i, comp, filt, interlace = ihdr
+    _check_dims(w, h, "PNG")
     if depth != 8:
         raise ValueError(f"only bit depth 8 supported, got {depth}")
     if comp != 0 or filt != 0:
@@ -1381,6 +1394,11 @@ def _decode_scan_progressive(
 def decode_jpeg(data: bytes) -> np.ndarray:
     """JFIF bytes -> (h, w, 3) uint8 RGB (grayscale expands).
 
+    Corrupt streams ALWAYS raise ValueError (fuzz-enforced contract:
+    internal KeyError/IndexError/OverflowError/struct.error from
+    corrupted bytes are converted at this boundary so the stages'
+    soft-error dead-lettering stays reliable).
+
     Supports the real-world profiles: baseline SOF0 AND progressive
     SOF2 (spectral selection + successive approximation, EOB runs),
     8-bit, 1 or 3 components at any integer sampling ratio — 4:4:4,
@@ -1389,6 +1407,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     tables, restart markers, multi-scan files. Extended-sequential /
     lossless / arithmetic-coded SOFn and 16-bit DQT raise
     NotImplementedError — the documented PIL/libjpeg seam."""
+    try:
+        return _decode_jpeg_inner(data)
+    except (KeyError, IndexError, OverflowError, struct.error) as exc:
+        raise ValueError(f"corrupt JPEG stream: {exc!r}") from exc
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qtabs: dict[int, np.ndarray] = {}
@@ -1432,6 +1457,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             progressive = marker == 0xC2
             prec, h, w, nf = struct.unpack(">BHHB", body[:6])
+            _check_dims(w, h, "JPEG")
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
             comps = []
@@ -1668,3 +1694,308 @@ def demux_avi_mjpeg(data: bytes) -> list[bytes]:
     if not frames:
         raise ValueError("no video frames in movi list")
     return frames
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/GIF89a, the public CompuServe/W3C spec) — a REAL
+# LZW-compressed image/animation path: variable-width LZW (3..12-bit
+# codes, clear/EOI, dictionary growth), global/local palettes,
+# interlacing, sub-block framing, GCE transparency + frame compositing.
+# LZW is inherently serial per stream (each code extends the
+# dictionary the next code may reference), so the per-blob loop IS the
+# decode — parallelism comes from the actor pool over blobs, same as
+# every other codec here.
+# ---------------------------------------------------------------------------
+
+
+def _gif_subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a sub-block chain starting at ``pos`` (len byte +
+    payload, 0-terminated). Returns (payload, pos_after)."""
+    out = bytearray()
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated GIF sub-block chain")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return bytes(out), pos
+        out += data[pos : pos + n]
+        if len(data) < pos + n:
+            raise ValueError("truncated GIF sub-block")
+        pos += n
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF variable-width LZW → palette indices (uint8)."""
+    if not 1 <= min_code_size <= 8:  # spec range; corrupt byte = bomb
+        raise ValueError(f"bad LZW minimum code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    # dictionary as (prefix_code, last_byte) pairs; roots are -1
+    prefix = np.full(4096, -1, np.int32)
+    suffix = np.zeros(4096, np.uint8)
+    suffix[:clear] = np.arange(clear, dtype=np.uint8)
+    next_code = end + 1
+    width = min_code_size + 1
+    out = np.empty(n_pixels, np.uint8)
+    n_out = 0
+    acc = bits = 0
+    prev = -1
+    buf = bytearray()  # decode buffer for one code's expansion
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                next_code = end + 1
+                width = min_code_size + 1
+                prev = -1
+                continue
+            if code == end:
+                return out[:n_out]
+            if prev < 0:  # first code after clear: must be a root
+                if code >= clear:
+                    raise ValueError("bad first LZW code")
+                out[n_out] = code
+                n_out += 1
+                prev = code
+                continue
+            # expand `code` (KwKwK case: code == next_code)
+            if code < next_code:
+                c = code
+            elif code == next_code:
+                c = prev
+            else:
+                raise ValueError("LZW code out of range")
+            buf.clear()
+            while c >= clear:
+                buf.append(suffix[c])
+                c = int(prefix[c])
+            buf.append(c)
+            first = buf[-1]
+            if code == next_code:
+                buf.insert(0, first)
+            take = min(len(buf), n_pixels - n_out)
+            out[n_out : n_out + take] = np.frombuffer(
+                bytes(buf), np.uint8
+            )[::-1][:take]
+            n_out += take
+            if n_out >= n_pixels:
+                return out
+            if next_code < 4096:
+                prefix[next_code] = prev
+                suffix[next_code] = first
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = code
+    return out[:n_out]
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_frames(data: bytes) -> list[np.ndarray]:
+    """GIF bytes → list of composited (h, w, 3) uint8 RGB frames.
+
+    Composites each frame onto the canvas honoring GCE transparency
+    and disposal (none/keep vs restore-background); interlaced frames
+    are de-interlaced. Single-image GIFs yield one frame. Corrupt
+    streams always raise ValueError (same boundary contract as
+    decode_jpeg)."""
+    try:
+        return _decode_gif_frames_inner(data)
+    except (KeyError, IndexError, OverflowError, struct.error) as exc:
+        raise ValueError(f"corrupt GIF stream: {exc!r}") from exc
+
+
+def _decode_gif_frames_inner(data: bytes) -> list[np.ndarray]:
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(data) < 14:
+        raise ValueError("truncated GIF header")
+    w, h = struct.unpack("<HH", data[6:10])
+    _check_dims(w, h, "GIF")
+    packed, bg = data[10], data[11]
+    pos = 13
+    gpal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gpal = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), np.uint8)
+    if gpal is not None and bg < len(gpal):
+        canvas[:] = gpal[bg]
+    frames: list[np.ndarray] = []
+    transparent = -1
+    disposal = 0
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if pos >= len(data):
+                raise ValueError("truncated GIF extension")
+            label = data[pos]
+            pos += 1
+            payload, pos = _gif_subblocks(data, pos)
+            if label == 0xF9 and len(payload) >= 4:  # GCE
+                disposal = (payload[0] >> 2) & 0x07
+                transparent = payload[3] if payload[0] & 0x01 else -1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02X}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated GIF image descriptor")
+        fx, fy, fw, fh = struct.unpack("<HHHH", data[pos : pos + 8])
+        _check_dims(max(fw, 1), max(fh, 1), "GIF frame")
+        if fx + fw > w or fy + fh > h or fw == 0 or fh == 0:
+            raise ValueError("GIF frame rect outside canvas")
+        fpacked = data[pos + 8]
+        pos += 9
+        pal = gpal
+        if fpacked & 0x80:  # local color table
+            n = 2 << (fpacked & 0x07)
+            pal = np.frombuffer(
+                data[pos : pos + 3 * n], np.uint8
+            ).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame without a color table")
+        min_code = data[pos]
+        pos += 1
+        lzw, pos = _gif_subblocks(data, pos)
+        idx = _lzw_decode(lzw, min_code, fw * fh)
+        if len(idx) < fw * fh:
+            raise ValueError("GIF frame pixel data truncated")
+        idx = idx.reshape(fh, fw)
+        if fpacked & 0x40:  # interlaced: reorder rows into place
+            de = np.empty_like(idx)
+            r = 0
+            for start, step in _GIF_INTERLACE:
+                rows = range(start, fh, step)
+                de[list(rows)] = idx[r : r + len(rows)]
+                r += len(rows)
+            idx = de
+        before = canvas.copy()
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        px = pal[np.minimum(idx, len(pal) - 1)]
+        if transparent >= 0:
+            opaque = idx != transparent
+            region[opaque] = px[opaque]
+        else:
+            region[:] = px
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore background
+            bg_rgb = gpal[bg] if gpal is not None and bg < len(gpal) else 0
+            canvas[fy : fy + fh, fx : fx + fw] = bg_rgb
+        elif disposal == 3:  # restore previous
+            canvas = before
+        transparent = -1
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes → first composited frame as (h, w, 3) uint8 RGB."""
+    return decode_gif_frames(data)[0]
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF variable-width LZW encoder (dict-reset on overflow)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    acc = bits = 0
+    out = bytearray()
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table: dict = {(-1, i): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    put(clear, width)
+    prev = -1
+    for v in indices.tolist():
+        key = (prev, v)
+        if key in table:
+            prev = table[key]
+            continue
+        put(prev, width)
+        table[key] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            put(clear, width)
+            table = {(-1, i): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        prev = v
+    put(prev, width)
+    put(end, width)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(
+    frames: list[np.ndarray] | np.ndarray,
+    delay_cs: int = 10,
+    interlace: bool = False,
+) -> bytes:
+    """(h, w, 3) frame(s) → GIF89a bytes (shared global palette built
+    from the frames' unique colors; > 256 unique colors raises — this
+    encoder exists for round-trip testing, not production quantizing)."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    if not frames:
+        raise ValueError("encode_gif needs at least one frame")
+    h, w = frames[0].shape[:2]
+    stack = np.concatenate([f.reshape(-1, 3) for f in frames])
+    pal, inv = np.unique(stack, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"{len(pal)} unique colors > 256 (quantize first)")
+    size_exp = max(1, int(np.ceil(np.log2(max(len(pal), 2)))))
+    table = np.zeros((1 << size_exp, 3), np.uint8)
+    table[: len(pal)] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((size_exp - 1) & 7), 0, 0)
+    out += table.tobytes()
+    min_code = max(2, size_exp)
+    offset = 0
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("all frames must share dimensions")
+        if len(frames) > 1:  # GCE with delay for animations
+            out += bytes([0x21, 0xF9, 4, 0]) + struct.pack(
+                "<H", delay_cs
+            ) + bytes([0, 0])
+        idx = inv[offset : offset + h * w].astype(np.uint8).reshape(h, w)
+        offset += h * w
+        if interlace:
+            rows = []
+            for start, step in _GIF_INTERLACE:
+                rows.extend(range(start, h, step))
+            idx = idx[rows]
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x40 if interlace else 0x00, min_code])
+        lzw = _lzw_encode(idx.reshape(-1), min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

@@ -14,12 +14,17 @@ Decoders, by honesty level:
   4:2:2 and 4:2:0 chroma; Huffman decode, dequantize + IDCT, restart
   markers, multi-scan. Extended/lossless/arithmetic SOFn raise
   NotImplementedError.
+- ``decoder="gif"`` (images/animations) is a REAL LZW decode path:
+  functions/codecs.decode_gif — variable-width LZW, global/local
+  palettes, interlacing, GCE transparency + frame compositing
+  (``FrameSampleStage(container="gif")`` samples animation frames).
 - ``decoder="ppm"`` (images) and the WAV audio stage are REAL,
   library-free decode paths (functions/codecs.py: netpbm header
   parse + ``np.frombuffer``; RIFF chunk walk) — bytes go in, pixels /
   samples come out, resize and features operate on the decoded data.
 - ``decoder="auto"`` sniffs each blob's magic bytes (PNG signature,
-  JPEG SOI, netpbm P3/P6) and routes to the matching real decoder —
+  JPEG SOI, GIF87a/89a, netpbm P3/P6) and routes to the matching
+  real decoder —
   the realistic mixed-corpus configuration for a crawled image
   column, where format is per-row data, not stage configuration.
 - ``decoder="fake"`` is a deterministic content-derived stand-in
@@ -39,6 +44,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.codecs import (
+    decode_gif,
     decode_jpeg,
     decode_png,
     decode_ppm,
@@ -48,17 +54,25 @@ from ..functions.codecs import (
 from ..functions.urlkeys import murmur3_x64_128
 
 
-_REAL_DECODERS = {"png": decode_png, "ppm": decode_ppm, "jpeg": decode_jpeg}
+_REAL_DECODERS = {
+    "png": decode_png,
+    "ppm": decode_ppm,
+    "jpeg": decode_jpeg,
+    "gif": decode_gif,
+}
 
 
 def _sniff_format(blob: bytes) -> str:
     """Magic-byte format sniff for ``decoder="auto"``: PNG signature,
-    JPEG SOI, netpbm P3/P6. Unknown prefixes raise ValueError so the
-    caller's soft-error path turns them into a decode_error row."""
+    JPEG SOI, GIF87a/89a, netpbm P3/P6. Unknown prefixes raise
+    ValueError so the caller's soft-error path turns them into a
+    decode_error row."""
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if blob[:2] == b"\xff\xd8":
         return "jpeg"
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if blob[:2] in (b"P3", b"P6"):
         return "ppm"
     raise ValueError(f"unrecognized image format (prefix {blob[:4]!r})")
@@ -107,7 +121,7 @@ class DecodeImageStage:
         null/corrupt blob yields zero pixels + a decode_error string,
         never a task failure (same soft-error model as the audio and
         extract stages)."""
-        if self.decoder in ("ppm", "png", "jpeg", "auto"):
+        if self.decoder in ("ppm", "png", "jpeg", "gif", "auto"):
             try:
                 img = _REAL_DECODERS[
                     _sniff_format(blob) if self.decoder == "auto" else self.decoder
@@ -255,7 +269,7 @@ class FrameSampleStage:
         self.media_col = media_col
         self.frame_bytes = frame_bytes
         self.every_n = every_n
-        if container not in ("bytes", "avi"):
+        if container not in ("bytes", "avi", "gif"):
             raise ValueError(f"unknown container {container!r}")
         self.container = container
         if decoder == "real":
@@ -270,6 +284,13 @@ class FrameSampleStage:
             from ..functions.codecs import demux_avi_mjpeg
 
             return demux_avi_mjpeg(blob)
+        if self.container == "gif":
+            # animated GIF: composited frames re-wrapped as netpbm
+            # blobs so the downstream DecodeImageStage(auto) path is
+            # format-uniform with the AVI/JPEG case
+            from ..functions.codecs import decode_gif_frames, encode_ppm
+
+            return [encode_ppm(f) for f in decode_gif_frames(blob)]
         return [
             blob[i : i + self.frame_bytes]
             for i in range(0, len(blob), self.frame_bytes)
