@@ -178,8 +178,7 @@ class ImageFeatureStage:
     once per actor in ``__init__``."""
 
     def __init__(self, bins: int = 8):
-        self.bins = bins
-        self.edges = np.linspace(0, 256, bins + 1)
+        self.bins = bins  # uniform [0, 256] bins (edges k*256/bins)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         h = batch["height"][0].as_py()
@@ -187,12 +186,18 @@ class ImageFeatureStage:
         flat = np.stack(batch["pixels"].to_numpy(zero_copy_only=False))
         imgs = flat.reshape(len(flat), h, w, 3)
         means = imgs.mean(axis=(1, 2))  # (N, 3)
-        hists = np.stack(
-            [
-                np.histogram(img.reshape(-1), bins=self.edges)[0] / img.size
-                for img in imgs
-            ]
-        )
+        # all-images histogram in ONE bincount (the per-image
+        # np.histogram loop was the last Python row loop in a hot
+        # stage): uniform [0,256] edges make the bin index a pure
+        # integer transform, and offsetting each image's indices by
+        # i*bins turns N histograms into one flat count
+        n = len(imgs)
+        px = flat.reshape(n, -1).astype(np.int64)
+        idx = np.minimum(px * self.bins // 256, self.bins - 1)
+        idx += np.arange(n, dtype=np.int64)[:, None] * self.bins
+        hists = np.bincount(
+            idx.ravel(), minlength=n * self.bins
+        ).reshape(n, self.bins) / px.shape[1]
         feats = np.concatenate([means / 255.0, hists], axis=1)
         return batch.append_column(
             "features",
