@@ -311,3 +311,65 @@ class TestResizeBilinear:
 
         with pytest.raises(ValueError, match="resample"):
             DecodeImageStage(resample="lanczos")
+
+
+class TestBmp:
+    """Uncompressed 24/32-bit BMP (row padding, bottom-up/top-down)."""
+
+    def test_roundtrip_exact(self):
+        import numpy as np
+
+        from vat_abcd_crawler_ray.functions.codecs import (
+            decode_bmp,
+            encode_bmp,
+        )
+
+        rng = np.random.default_rng(2)
+        for h, w in ((1, 1), (5, 7), (13, 33)):
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            assert (decode_bmp(encode_bmp(img)) == img).all()
+
+    def test_top_down_and_32bit(self):
+        import struct
+
+        import numpy as np
+
+        from vat_abcd_crawler_ray.functions.codecs import decode_bmp
+
+        # hand-build a 2x2 top-down 32-bit BMP
+        px = np.array([[[1, 2, 3], [4, 5, 6]],
+                       [[7, 8, 9], [10, 11, 12]]], np.uint8)
+        rows = b""
+        for r in range(2):
+            for c in range(2):
+                b, g, rr = px[r, c, 2], px[r, c, 1], px[r, c, 0]
+                rows += bytes([b, g, rr, 255])
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 32, 0,
+                           len(rows), 0, 0, 0, 0)
+        assert (decode_bmp(hdr + info + rows) == px).all()
+
+    def test_corrupt_and_unsupported(self):
+        import pytest
+
+        from vat_abcd_crawler_ray.functions.codecs import decode_bmp
+
+        with pytest.raises(ValueError):
+            decode_bmp(b"BMshort")
+        with pytest.raises(ValueError):
+            decode_bmp(b"XX" + bytes(60))
+
+    def test_auto_sniff(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from vat_abcd_crawler_ray.functions.codecs import encode_bmp
+        from vat_abcd_crawler_ray.stages.multimodal import DecodeImageStage
+
+        img = np.full((8, 8, 3), 42, np.uint8)
+        t = pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "media": pa.array([encode_bmp(img)], pa.binary()),
+        })
+        out = DecodeImageStage(out_hw=(4, 4), decoder="auto")(t)
+        assert (np.asarray(out["pixels"].to_pylist()[0]) == 42).all()

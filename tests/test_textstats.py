@@ -176,3 +176,69 @@ class TestCleanLines:
         # are the page-level signal
         df = self._clean("x\ny\nz", "One good line ends properly here.")
         assert df["n_kept"][0] == 0 and df["n_kept"][1] == 1
+
+
+class TestRepetitionFeatures:
+    """Gopher repetition rules (Rae et al. 2021)."""
+
+    def _rep(self, *texts):
+        import pandas as pd
+
+        from vat_abcd_crawler_ray.functions.textstats import (
+            repetition_features,
+        )
+
+        return repetition_features(pd.Series(list(texts)))
+
+    def test_duplicate_lines_flagged(self):
+        df = self._rep("buy now\nbuy now\nbuy now\nunique line here")
+        assert df["dup_line_frac"][0] == 0.5  # 2 repeats of 4 lines
+        assert 0 < df["dup_line_char_frac"][0] < 1
+
+    def test_clean_prose_low(self):
+        df = self._rep(
+            "a normal paragraph with no repetition at all in it today"
+        )
+        assert df["dup_line_frac"][0] == 0.0
+        assert df["top_bigram_char_frac"][0] < 0.25  # Gopher keep-bar
+
+    def test_spam_bigram_saturates(self):
+        df = self._rep("spam spam spam spam spam spam spam spam")
+        assert df["top_bigram_char_frac"][0] == 1.0
+
+    def test_gopher_thresholds_separate_spam_from_prose(self):
+        df = self._rep(
+            "click here\nclick here\nclick here\nclick here",
+            "The weather turned colder as autumn settled in. Birds flew "
+            "south while leaves drifted across the quiet street.",
+        )
+        spam = (df["dup_line_frac"] > 0.3) | (
+            df["top_bigram_char_frac"] > 0.2
+        )
+        assert list(spam) == [True, False]
+
+    def test_empty_and_null(self):
+        import pandas as pd
+
+        from vat_abcd_crawler_ray.functions.textstats import (
+            repetition_features,
+        )
+
+        df = repetition_features(pd.Series(["", None, "one fine line."]))
+        assert (df.iloc[:2] == 0.0).all().all()
+        assert df["dup_line_frac"][2] == 0.0
+
+    def test_index_alignment(self):
+        import pandas as pd
+
+        from vat_abcd_crawler_ray.functions.textstats import (
+            repetition_features,
+        )
+
+        s = pd.Series(
+            ["x x x x x", "many different words avoid repeated pairs here"],
+            index=[10, 20],
+        )
+        df = repetition_features(s)
+        assert list(df.index) == [10, 20]
+        assert df["top_bigram_char_frac"][10] > df["top_bigram_char_frac"][20]

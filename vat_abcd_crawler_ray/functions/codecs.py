@@ -1999,3 +1999,59 @@ def encode_gif(
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows BITMAPINFOHEADER, uncompressed 24/32-bit) — the
+# remaining common uncompressed crawl format; header walk +
+# bottom-up row flip + 4-byte row padding, all numpy.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) RGB uint8 → 24-bit BI_RGB BMP bytes."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_bmp expects (h, w, 3) RGB")
+    h, w = img.shape[:2]
+    row = w * 3
+    pad = (-row) % 4
+    body = np.zeros((h, row + pad), np.uint8)
+    body[:, :row] = img[::-1, :, ::-1].reshape(h, row)  # bottom-up BGR
+    data = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24/32-bit BI_RGB BMP bytes → (h, w, 3) uint8 RGB. Top-down
+    (negative height) and bottom-up rows both handled; compressed
+    (RLE/bitfields) and paletted variants raise — a crawled corpus
+    routes those to the dead-letter path."""
+    try:
+        if data[:2] != b"BM" or len(data) < 54:
+            raise ValueError("not a BMP")
+        offset = struct.unpack("<I", data[10:14])[0]
+        hdr_size = struct.unpack("<I", data[14:18])[0]
+        if hdr_size < 40:
+            raise NotImplementedError("BITMAPCOREHEADER BMP unsupported")
+        w, h = struct.unpack("<ii", data[18:26])
+        planes, bpp = struct.unpack("<HH", data[26:30])
+        comp = struct.unpack("<I", data[30:34])[0]
+        top_down = h < 0
+        h = abs(h)
+        _check_dims(w, h, "BMP")
+        if comp != 0 or bpp not in (24, 32):
+            raise NotImplementedError(
+                f"only uncompressed 24/32-bit BMP (bpp={bpp}, comp={comp})"
+            )
+        nch = bpp // 8
+        row = (w * nch + 3) & ~3
+        px = np.frombuffer(data, np.uint8, count=h * row, offset=offset)
+        px = px.reshape(h, row)[:, : w * nch].reshape(h, w, nch)
+        rgb = px[:, :, 2::-1]  # BGR(A) → RGB
+        return np.ascontiguousarray(rgb if top_down else rgb[::-1])
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"corrupt BMP stream: {exc!r}") from exc

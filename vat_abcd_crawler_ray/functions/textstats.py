@@ -247,3 +247,57 @@ def clean_lines(
         texts.index, fill_value=0
     ).astype(np.int64)
     return out
+
+
+# -- repetition signals (Gopher rules, Rae et al. 2021) ---------------------
+
+
+def repetition_features(texts: pd.Series) -> pd.DataFrame:
+    """Per-doc repetition signals from the Gopher quality rules:
+    ``dup_line_frac`` (lines seen before within the doc),
+    ``dup_line_char_frac`` (characters in those repeat occurrences),
+    ``top_bigram_char_frac`` (characters covered by the most common
+    word 2-gram). Pages failing these are boilerplate/spam-shaped
+    (Gopher drops dup_line_frac > 0.3, top-2-gram frac > 0.2).
+    Vectorized via explode + groupby — cumcount marks repeat line
+    occurrences, groupby-shift builds bigrams without a per-doc loop."""
+    t = texts.fillna("")
+    out = pd.DataFrame(index=t.index)
+
+    lines = t.str.split("\n").explode().str.strip()
+    lines = lines[lines.str.len() > 0]
+    n_lines = lines.groupby(level=0).size()
+    # occurrence rank of each (doc, line): rank > 0 = a repeat
+    occ = lines.groupby([lines.index, lines]).cumcount()
+    rep = occ > 0
+    n_rep = rep.groupby(level=0).sum()
+    line_chars = lines.str.len()
+    tot_chars = line_chars.groupby(level=0).sum()
+    rep_chars = line_chars[rep.to_numpy()].groupby(level=0).sum()
+    out["dup_line_frac"] = (
+        (n_rep / n_lines).reindex(t.index).fillna(0.0)
+    )
+    out["dup_line_char_frac"] = (
+        (rep_chars.reindex(n_lines.index, fill_value=0) / tot_chars)
+        .reindex(t.index)
+        .fillna(0.0)
+    )
+
+    words = t.str.lower().str.findall(_WORD).explode().dropna()
+    nxt = words.groupby(level=0).shift(-1)
+    bigrams = (words + " " + nxt).dropna()
+    if len(bigrams):
+        counts = bigrams.groupby([bigrams.index, bigrams]).size()
+        top_idx = counts.groupby(level=0).idxmax()
+        top_count = counts.groupby(level=0).max()
+        top_len = pd.Series(
+            [len(b) for _, b in top_idx], index=top_count.index
+        )
+        word_chars = words.str.len().groupby(level=0).sum() + np.maximum(
+            0, words.groupby(level=0).size() - 1
+        )  # + separating spaces, matching the bigram's "a b" length
+        frac = (top_count * top_len / word_chars).clip(upper=1.0)
+        out["top_bigram_char_frac"] = frac.reindex(t.index).fillna(0.0)
+    else:
+        out["top_bigram_char_frac"] = 0.0
+    return out

@@ -23,7 +23,7 @@ Decoders, by honesty level:
   parse + ``np.frombuffer``; RIFF chunk walk) — bytes go in, pixels /
   samples come out, resize and features operate on the decoded data.
 - ``decoder="auto"`` sniffs each blob's magic bytes (PNG signature,
-  JPEG SOI, GIF87a/89a, netpbm P3/P6) and routes to the matching
+  JPEG SOI, GIF87a/89a, BMP, netpbm P3/P6) and routes to the matching
   real decoder —
   the realistic mixed-corpus configuration for a crawled image
   column, where format is per-row data, not stage configuration.
@@ -44,6 +44,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.codecs import (
+    decode_bmp,
     decode_gif,
     decode_jpeg,
     decode_png,
@@ -59,6 +60,7 @@ _REAL_DECODERS = {
     "ppm": decode_ppm,
     "jpeg": decode_jpeg,
     "gif": decode_gif,
+    "bmp": decode_bmp,
 }
 
 
@@ -73,6 +75,8 @@ def _sniff_format(blob: bytes) -> str:
         return "jpeg"
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if blob[:2] == b"BM":
+        return "bmp"
     if blob[:2] in (b"P3", b"P6"):
         return "ppm"
     raise ValueError(f"unrecognized image format (prefix {blob[:4]!r})")
@@ -121,7 +125,7 @@ class DecodeImageStage:
         null/corrupt blob yields zero pixels + a decode_error string,
         never a task failure (same soft-error model as the audio and
         extract stages)."""
-        if self.decoder in ("ppm", "png", "jpeg", "gif", "auto"):
+        if self.decoder in ("ppm", "png", "jpeg", "gif", "bmp", "auto"):
             try:
                 img = _REAL_DECODERS[
                     _sniff_format(blob) if self.decoder == "auto" else self.decoder
