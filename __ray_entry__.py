@@ -816,14 +816,25 @@ def _q_normalize(sf_dir: str):
 
 
 def _q_quality(sf_dir: str):
-    from vat_abcd_crawler_ray.functions.textstats import quality_features
+    """Quality gates CHAINED with the Gopher repetition signals
+    (``repetition_features`` — dup-line fractions + top-bigram char
+    coverage) so the round-5 repetition family sits inside the 50-row
+    gate: the oracle recomputes all three from SQL (line groupby for
+    the dup fractions; lag-window bigrams with the same
+    lexicographic tie-break for the top-bigram coverage)."""
+    from vat_abcd_crawler_ray.functions.textstats import (
+        quality_features,
+        repetition_features,
+    )
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         q = quality_features(df["text"])
         q.insert(0, "doc_id", df["doc_id"].to_numpy())
-        return q[["doc_id", "punct_ratio", "stop_ratio", "quality_score"]]
+        q = q[["doc_id", "punct_ratio", "stop_ratio", "quality_score"]]
+        r = repetition_features(df["text"]).reset_index(drop=True)
+        return pd.concat([q.reset_index(drop=True), r], axis=1)
 
     return docs.map_batches(f, batch_format="pandas")
 
@@ -1892,11 +1903,57 @@ def oracle_sql() -> dict[str, str]:
                        / greatest(1, length(regexp_extract_all(lower(text), '[a-z]+')))
                        AS stop_ratio
               FROM documents)
-            SELECT doc_id, punct_ratio, stop_ratio,
+            , l AS (
+              SELECT doc_id, trim(x) AS line
+              FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS x
+                    FROM documents)
+              WHERE length(trim(x)) > 0
+            ), lc AS (
+              SELECT doc_id, line, count(*) AS k
+              FROM l GROUP BY doc_id, line
+            ), la AS (
+              SELECT doc_id,
+                     CAST(sum(k - 1) AS DOUBLE) / sum(k) AS dup_line_frac,
+                     CAST(sum((k - 1) * length(line)) AS DOUBLE)
+                       / sum(k * length(line)) AS dup_line_char_frac
+              FROM lc GROUP BY doc_id
+            ), wds AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+') AS words
+              FROM documents
+            ), bg AS (
+              SELECT doc_id, words[i] || ' ' || words[i + 1] AS bigram
+              FROM wds, unnest(range(1, len(words))) AS u(i)
+            ), bc AS (
+              SELECT doc_id, bigram, count(*) AS k
+              FROM bg GROUP BY doc_id, bigram
+            ), bm AS (
+              SELECT doc_id, max(k) AS mk FROM bc GROUP BY doc_id
+            ), bt AS (
+              -- pandas idxmax tie-break = lexicographically smallest
+              SELECT bc.doc_id, bm.mk AS k, min(bc.bigram) AS bigram
+              FROM bc JOIN bm ON bc.doc_id = bm.doc_id AND bc.k = bm.mk
+              GROUP BY bc.doc_id, bm.mk
+            ), wc AS (
+              SELECT doc_id,
+                     list_sum(list_transform(words, x -> length(x)))
+                       + greatest(len(words) - 1, 0) AS word_chars
+              FROM wds
+            )
+            SELECT b.doc_id, punct_ratio, stop_ratio,
                    (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
                    * (1.0 - least(1.0, 4.0 * punct_ratio))
-                   * least(1.0, 4.0 * stop_ratio) AS quality_score
+                   * least(1.0, 4.0 * stop_ratio) AS quality_score,
+                   COALESCE(la.dup_line_frac, 0.0) AS dup_line_frac,
+                   COALESCE(la.dup_line_char_frac, 0.0)
+                     AS dup_line_char_frac,
+                   COALESCE(least(1.0, CAST(bt.k * length(bt.bigram)
+                                            AS DOUBLE) / wc.word_chars),
+                            0.0) AS top_bigram_char_frac
             FROM b
+            LEFT JOIN la ON la.doc_id = b.doc_id
+            LEFT JOIN bt ON bt.doc_id = b.doc_id
+            LEFT JOIN wc ON wc.doc_id = b.doc_id
         """,
         "q_langid": f"""
             WITH w AS (
