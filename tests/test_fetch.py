@@ -268,6 +268,7 @@ class TestUrllibOpenerFactory:
 
         class FakeResp:
             status = 200
+            headers = {"Content-Encoding": None}
 
             def read(self, n):
                 return b"body-bytes"
@@ -307,3 +308,87 @@ class TestUrllibOpenerFactory:
         opener = urllib_opener_factory()
         with pytest.raises(ConnectionError):
             opener("https://x.example.org/")
+
+
+class TestDecodeBody:
+    """Content-Encoding handling for the production opener: gzip,
+    both deflate variants, bomb capping, corrupt-stream passthrough."""
+
+    def test_gzip(self):
+        import gzip
+
+        from vat_abcd_crawler_ray.stages.fetch import decode_body
+
+        body = b"<html>hello compressed world</html>" * 20
+        assert decode_body(gzip.compress(body), "gzip", 1 << 20) == body
+
+    def test_deflate_zlib_wrapped(self):
+        import zlib
+
+        from vat_abcd_crawler_ray.stages.fetch import decode_body
+
+        body = b"zlib-wrapped deflate per the RFC" * 10
+        assert decode_body(zlib.compress(body), "deflate", 1 << 20) == body
+
+    def test_deflate_raw_rfc_violator(self):
+        import zlib
+
+        from vat_abcd_crawler_ray.stages.fetch import decode_body
+
+        body = b"raw deflate like broken IIS servers send" * 10
+        c = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+        raw = c.compress(body) + c.flush()
+        assert decode_body(raw, "deflate", 1 << 20) == body
+
+    def test_identity_and_unknown_pass_through(self):
+        from vat_abcd_crawler_ray.stages.fetch import decode_body
+
+        assert decode_body(b"plain", None, 100) == b"plain"
+        assert decode_body(b"plain", "identity", 100) == b"plain"
+        assert decode_body(b"??", "br", 100) == b"??"  # brotli: no stdlib
+
+    def test_bomb_capped(self):
+        import gzip
+
+        from vat_abcd_crawler_ray.stages.fetch import decode_body
+
+        bomb = gzip.compress(b"\x00" * (50 << 20))  # 50 MB of zeros
+        out = decode_body(bomb, "gzip", 1 << 16)
+        assert len(out) == 1 << 16  # truncated, not 50 MB
+
+    def test_corrupt_returns_raw(self):
+        from vat_abcd_crawler_ray.stages.fetch import decode_body
+
+        junk = b"\x1f\x8bnot really gzip at all"
+        assert decode_body(junk, "gzip", 1 << 20) == junk
+
+    def test_gzip_response_inflated(self, monkeypatch):
+        import gzip
+        import urllib.request
+
+        from vat_abcd_crawler_ray.stages.fetch import urllib_opener_factory
+
+        seen = {}
+        body = b"<html>compressed page body</html>"
+
+        class GzResp:
+            status = 200
+            headers = {"Content-Encoding": "gzip"}
+
+            def read(self, n):
+                return gzip.compress(body)
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        def fake_urlopen(req, timeout=None):
+            seen["ae"] = req.headers.get("Accept-encoding")
+            return GzResp()
+
+        monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+        opener = urllib_opener_factory()
+        assert opener("https://gz.example.org/") == (200, body)
+        assert seen["ae"] == "gzip, deflate"

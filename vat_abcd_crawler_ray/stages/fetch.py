@@ -41,26 +41,68 @@ FETCH_HTTP_ERROR = "FetchHttpError"
 Opener = Callable[[str], tuple[int, bytes]]
 
 
+def decode_body(
+    raw: bytes, content_encoding: str | None, max_bytes: int
+) -> bytes:
+    """Apply ``Content-Encoding`` (gzip / deflate, incl. the raw-
+    deflate servers that violate the RFC) with the output capped at
+    ``max_bytes`` — a decompression bomb must not OOM the fetch actor;
+    it gets truncated like any oversized body. Unknown encodings and
+    corrupt streams return the raw bytes (the extractor's soft-error
+    path reports them — same errors-are-data model as the codecs)."""
+    import zlib
+
+    enc = (content_encoding or "").strip().lower()
+    if enc in ("", "identity"):
+        return raw
+    try:
+        if enc == "gzip":
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        elif enc == "deflate":
+            try:  # zlib-wrapped first (the RFC meaning)
+                d = zlib.decompressobj(zlib.MAX_WBITS)
+                return d.decompress(raw, max_bytes)
+            except zlib.error:
+                d = zlib.decompressobj(-zlib.MAX_WBITS)  # raw deflate
+        else:
+            return raw
+        return d.decompress(raw, max_bytes)
+    except zlib.error:
+        return raw
+
+
 def urllib_opener_factory(
     timeout_s: float = 30.0,
     user_agent: str = "vat-abcd-crawler-ray/0.3",
     max_body_bytes: int = 64 * 1024 * 1024,
 ) -> Opener:
-    """Production opener built on the stdlib (no extra deps): GET with a
-    UA header and timeout; non-2xx statuses are RETURNED (the stage
-    classifies them — ``file_downloader.rs:8-29`` errors on non-2xx),
-    transport failures raise (classified transient by the stage). Build
-    one per task/actor and inject it via ``CrawlRun(http_opener=...)``
-    or ``HttpFetchStage(opener)`` — this sandbox has no network, so the
-    factory is never the implicit default."""
+    """Production opener built on the stdlib (no extra deps): GET with
+    UA + ``Accept-Encoding: gzip, deflate`` headers and a timeout;
+    compressed responses are inflated (output bomb-capped at
+    ``max_body_bytes``, see :func:`decode_body`); non-2xx statuses are
+    RETURNED (the stage classifies them — ``file_downloader.rs:8-29``
+    errors on non-2xx), transport failures raise (classified transient
+    by the stage). Build one per task/actor and inject it via
+    ``CrawlRun(http_opener=...)`` or ``HttpFetchStage(opener)`` — this
+    sandbox has no network, so the factory is never the implicit
+    default."""
     import urllib.error
     import urllib.request
 
     def opener(url: str) -> tuple[int, bytes]:
-        req = urllib.request.Request(url, headers={"User-Agent": user_agent})
+        req = urllib.request.Request(
+            url,
+            headers={
+                "User-Agent": user_agent,
+                "Accept-Encoding": "gzip, deflate",
+            },
+        )
         try:
             with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-                return resp.status, resp.read(max_body_bytes)
+                raw = resp.read(max_body_bytes)
+                return resp.status, decode_body(
+                    raw, resp.headers.get("Content-Encoding"), max_body_bytes
+                )
         except urllib.error.HTTPError as e:
             # an HTTP-level error IS a status, not a transport failure
             return e.code, b""
