@@ -165,3 +165,43 @@ def test_cli_curate_full_chain(docs_parquet, tmp_path, capsys, ray_session):
         "--salt", "3", "--pack-budget", "256",
     ])
     assert sorted(_read_dir(out2)["doc_id"]) == sorted(got["doc_id"])
+
+
+def test_cli_ingest_then_curate(tmp_path, capsys, ray_session):
+    """The full web-corpus chain as two commands: WARC dir → ingest →
+    documents parquet → curate → filtered/split parquet."""
+    from vat_abcd_crawler_ray.sources.warc import write_warc
+
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    for f in range(2):
+        recs = [{
+            "url": f"https://s{f}.example/p{i}",
+            "status": 200 if i % 5 else 503,  # some non-2xx to filter
+            "content_type": "text/html",
+            "body": (
+                f"<html><head><title>T{f}-{i}</title></head><body>"
+                f"<p>A proper sentence number {i} appears here.</p>"
+                f"</body></html>"
+            ).encode(),
+        } for i in range(20)]
+        (wdir / f"{f}.warc.gz").write_bytes(write_warc(recs, gz=True))
+
+    docs_out = str(tmp_path / "docs")
+    rc = cli.main(["ingest", "--warc", str(wdir), "--out", docs_out])
+    assert rc == 0
+    docs = _read_dir(docs_out)
+    assert len(docs) == 2 * 16  # 4 of 20 per file were 503
+    assert {"url", "title", "text", "n_links"} <= set(docs.columns)
+    assert docs["text"].str.contains("proper sentence").all()
+    assert not docs["text"].str.contains("title").any()
+
+    cur_out = str(tmp_path / "curated")
+    rc = cli.main([
+        "curate", "--input", docs_out, "--out", cur_out,
+        "--id-col", "url", "--splits", "train=0.9,val=0.1",
+    ])
+    assert rc == 0
+    cur = _read_dir(cur_out)
+    assert len(cur) == len(docs)
+    assert set(cur["split"]) <= {"train", "val"}

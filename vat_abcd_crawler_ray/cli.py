@@ -187,6 +187,49 @@ def cmd_textstats(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ingest(args: argparse.Namespace) -> int:
+    """WARC(.gz) files → curation-ready documents parquet: response
+    records parsed, HTML decoded (charset sniff) and reduced to
+    text/title/link-count rows — the front half of the standard
+    web-corpus chain (follow with ``curate``)."""
+    import pandas as pd
+    import ray
+
+    from .functions.html import page_records
+    from .sources.warc import read_warc
+
+    owned = _init_ray(args.num_cpus)
+    paths = args.warc
+    if len(paths) == 1 and os.path.isdir(paths[0]):
+        paths = sorted(
+            os.path.join(paths[0], f)
+            for f in os.listdir(paths[0])
+            if f.endswith((".warc", ".warc.gz"))
+        )
+    if not paths:
+        raise SystemExit("no .warc/.warc.gz inputs found")
+    min_status, max_status = 200, 299
+
+    def glue(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df[
+            df["warc_error"].isna()
+            & df["status"].between(min_status, max_status)
+        ]
+        return page_records(
+            ok[["warc_file", "url", "date", "status", "html"]].reset_index(
+                drop=True
+            )
+        )
+
+    read_warc(paths).map_batches(glue, batch_format="pandas").write_parquet(
+        args.out
+    )
+    json.dump({"out": args.out, "warc_files": len(paths)}, sys.stdout)
+    print()
+    _shutdown_ray(owned)
+    return 0
+
+
 def cmd_curate(args: argparse.Namespace) -> int:
     """One-pass web-corpus curation: C4 line cleaning → PII scrub →
     token count, then optional deterministic sampling, train/val/test
@@ -321,6 +364,18 @@ def main(argv: list[str] | None = None) -> int:
     x.add_argument("--id-col", default="doc_id")
     x.add_argument("--num-cpus", type=int, default=None)
     x.set_defaults(fn=cmd_textstats)
+
+    ing = sub.add_parser(
+        "ingest",
+        help="WARC(.gz) files/dir → curation-ready documents parquet",
+    )
+    ing.add_argument(
+        "--warc", nargs="+", required=True,
+        help="warc file paths, or one directory of them",
+    )
+    ing.add_argument("--out", required=True)
+    ing.add_argument("--num-cpus", type=int, default=None)
+    ing.set_defaults(fn=cmd_ingest)
 
     cu = sub.add_parser(
         "curate",
