@@ -258,3 +258,43 @@ def sanitize_id(dataset_id: str) -> str:
     ``/root/reference/src/main.rs:171-180``): keep ``[a-zA-Z-]``, replace
     everything else with ``_``."""
     return "".join(c if (c.isascii() and c.isalpha()) or c == "-" else "_" for c in dataset_id)
+
+
+# ---- URL hygiene beyond the canonical key ------------------------------
+
+# tracking parameters every major pipeline strips (public lists:
+# utm_* from Google Analytics, click ids from ad platforms)
+_TRACKING_EXACT = frozenset((
+    "gclid", "fbclid", "msclkid", "dclid", "twclid", "igshid",
+    "mc_cid", "mc_eid", "ref_src", "spm", "yclid",
+))
+_TRACKING_PREFIX = ("utm_",)
+
+
+def strip_tracking_params(url: str) -> str:
+    """Remove tracking query parameters (utm_*, click ids) — they
+    explode the URL-seen space with fetch-identical variants. Param
+    ORDER of the survivors is preserved (canonicalize_url's documented
+    non-goal stands: this removes parameters, it never reorders).
+    Empty surviving query drops the '?'."""
+    q = url.find("?")
+    if q < 0:
+        return url
+    frag = ""
+    rest = url[q + 1 :]
+    f = rest.find("#")
+    if f >= 0:
+        frag = rest[f:]
+        rest = rest[:f]
+    kept = []
+    for part in rest.split("&"):
+        name = part.partition("=")[0].lower()
+        if name in _TRACKING_EXACT or name.startswith(_TRACKING_PREFIX):
+            continue
+        kept.append(part)
+    base = url[:q]
+    return (base + "?" + "&".join(kept) if kept else base) + frag
+
+
+def strip_tracking_batch(urls) -> list[str]:
+    return [strip_tracking_params(u) for u in urls]
