@@ -147,6 +147,62 @@ def _distinct_partition(key: str, *tables: pa.Table) -> pa.Table:
     return pa.TableGroupBy(pa.concat_tables(live), key).aggregate([])
 
 
+@ray.remote
+def _multisum_partition(key: str, sum_cols: tuple, *tables: pa.Table):
+    """Sum every column in ``sum_cols`` per key over one partition's
+    slices (C++ hash-agg)."""
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        if tables:
+            return tables[0].select([key, *sum_cols])
+        return pa.table(
+            {c: pa.array([], type=pa.int64()) for c in (key, *sum_cols)}
+        )
+    g = pa.TableGroupBy(pa.concat_tables(live), key).aggregate(
+        [(c, "sum") for c in sum_cols]
+    )
+    return pa.table(
+        {key: g[key], **{c: g[f"{c}_sum"] for c in sum_cols}}
+    )
+
+
+def sum_combine_dataset(
+    partials: "ray.data.Dataset",
+    key: str,
+    sum_cols: list[str],
+    parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Combine per-block partial sums over MULTIPLE columns into one
+    row per key, returned AS A DATASET (one block per hash partition;
+    values never pass through the driver) — the multi-column twin of
+    :func:`distinct_dataset`, for per-entity aggregates whose key
+    cardinality is data-sized (e.g. per-document rollups)."""
+    import ray.data as rd
+
+    refs = partials.to_arrow_refs()
+    if parts is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        parts = max(8, min(256, cpus))
+    if not refs:
+        return rd.from_arrow(
+            pa.table(
+                {c: pa.array([], type=pa.int64()) for c in (key, *sum_cols)}
+            )
+        )
+    split = _split_block.options(num_returns=parts)
+    matrix = [split.remote(r, key, parts) for r in refs]
+    if parts == 1:
+        matrix = [[m] for m in matrix]
+    return rd.from_arrow_refs(
+        [
+            _multisum_partition.remote(
+                key, tuple(sum_cols), *[row[p] for row in matrix]
+            )
+            for p in range(parts)
+        ]
+    )
+
+
 def distinct_dataset(
     keys: "ray.data.Dataset", key: str, parts: int | None = None
 ) -> "ray.data.Dataset":

@@ -105,10 +105,13 @@ def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]
     return a, b
 
 
-def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """mod-P polynomial hashes of the k-CHARACTER shingle set (code
-    points via utf-32 reinterpret; k vectorized passes, no per-shingle
-    Python loop). A text shorter than k yields one whole-text hash."""
+def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """mod-P polynomial hash of EVERY k-character shingle in POSITION
+    order (code points via utf-32 reinterpret; k vectorized passes, no
+    per-shingle Python loop). A text shorter than k yields one
+    whole-text hash. The positional form is what winnowing
+    (``pipelines/substring_dedup``) needs; MinHash wants the set —
+    use :func:`char_shingles`."""
     cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
     n = len(cp)
     if n < k:
@@ -119,7 +122,12 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
     h = np.zeros(n - k + 1, dtype=np.int64)
     for j in range(k):  # k (=5) vectorized passes, not n passes
         h = (h * _MH_CB + cp[j : n - k + 1 + j]) % _MH_P
-    return np.unique(h)
+    return h
+
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Sorted unique mod-P hashes of the k-character shingle SET."""
+    return np.unique(char_shingle_hashes(text, k))
 
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
