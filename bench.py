@@ -33,6 +33,12 @@ def _warm_worker(b):
     return b
 
 
+_HEADLINE_QUERIES = (
+    "extract", "crawl", "dedup_minhash", "agg_partial", "knn",
+    "knn_lsh_q2k",
+)
+
+
 def _bench_queries(sf_dir: str, num_cpus: int) -> tuple[dict, dict]:
     import ray
 
@@ -226,6 +232,24 @@ def _bench_queries(sf_dir: str, num_cpus: int) -> tuple[dict, dict]:
     t0 = time.perf_counter()
     knn_lsh(emb, queries_2k, k=10, n_bits=6).count()
     timings["knn_lsh_q2k"] = time.perf_counter() - t0
+
+    # -- substring-level dedup (winnowed fingerprints) over the same
+    # replicated documents table the minhash benchmark uses
+    from vat_abcd_crawler_ray.pipelines.substring_dedup import (
+        substring_dup_stats,
+    )
+
+    docs_sub = ray.data.read_parquet(
+        os.path.join(tables, "documents.parquet"),
+        columns=["doc_id", "text"],
+        override_num_blocks=num_cpus * 2,
+    )
+    t0 = time.perf_counter()
+    n_sub = substring_dup_stats(docs_sub, k=20, w=16).count()
+    timings["substring_dedup"] = time.perf_counter() - t0
+    derived["substring_docs_per_sec"] = round(
+        n_sub / timings["substring_dedup"], 1
+    )
 
     # -- multimodal: the full media decode spine over a mixed-format
     # corpus (PNG / 4:2:0 JPEG / grayscale JPEG images via auto-sniff,
@@ -421,11 +445,10 @@ def run_once() -> dict:
     return {
         "metric": "e2e_bench_sec",
         # headline stays the sum of the six round-1..4 queries so the
-        # e2e number remains comparable round-over-round; the round-5
-        # multimodal line is reported per-query + as media_docs_per_sec
-        "value": round(
-            sum(v for k, v in timings.items() if k != "multimodal"), 2
-        ),
+        # e2e number remains comparable round-over-round; round-5
+        # additions (multimodal, substring dedup) report per-query +
+        # in derived throughputs only
+        "value": round(sum(timings[k] for k in _HEADLINE_QUERIES), 2),
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
