@@ -45,10 +45,17 @@ def docs_parquet(tmp_path_factory):
 
 
 def _read_dir(out_dir: str) -> pd.DataFrame:
-    parts = sorted(glob.glob(out_dir + "/*.parquet"))
-    assert parts, f"no parquet written under {out_dir}"
-    return pd.concat([pq.read_table(p).to_pandas() for p in parts],
-                     ignore_index=True)
+    import pyarrow.dataset as pds
+
+    # handles both flat dirs and hive-partitioned layouts (curate
+    # writes split=... subdirectories when splits are requested)
+    ds = pds.dataset(out_dir, format="parquet", partitioning="hive")
+    df = ds.to_table().to_pandas()
+    assert len(df.columns), f"no parquet written under {out_dir}"
+    for c in df.columns:  # hive partition cols come back as category
+        if df[c].dtype.name == "category":
+            df[c] = df[c].astype(str)
+    return df
 
 
 @pytest.mark.parametrize("method", ["exact", "minhash", "simhash"])

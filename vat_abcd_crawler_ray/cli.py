@@ -278,7 +278,13 @@ def cmd_curate(args: argparse.Namespace) -> int:
         ds = add_split_column(ds, id_col, fractions, salt=args.salt)
     if args.pack_budget:
         ds = pack_sequences(ds, "n_tokens", args.pack_budget, id_col=id_col)
-    ds.write_parquet(args.out)
+    if args.splits:
+        # hive-partition by split: consumers read one split without
+        # scanning the others, and a re-run can skip finished splits
+        # (the resumable-output layout rule)
+        ds.write_parquet(args.out, partition_cols=["split"])
+    else:
+        ds.write_parquet(args.out)
     json.dump({"out": args.out}, sys.stdout)
     print()
     _shutdown_ray(owned)
