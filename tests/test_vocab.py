@@ -73,3 +73,60 @@ class TestVocabStats:
         ds = rd.from_items([{"doc_id": 0, "text": ""}])
         top, stats = vocab_stats(ds)
         assert len(top) == 0 and stats["total_tokens"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTfidfVectors:
+    def test_values_match_manual_computation(self):
+        from vat_abcd_crawler_ray.pipelines.vocab import tfidf_vectors
+
+        docs = [
+            {"doc_id": 0, "text": "apple apple banana"},
+            {"doc_id": 1, "text": "banana cherry"},
+            {"doc_id": 2, "text": "cherry cherry cherry"},
+        ]
+        ds = rd.from_items(docs)
+        top, stats = vocab_stats(ds, top_n=10)
+        out = (
+            tfidf_vectors(ds, top, n_docs=3)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        terms = list(top["term"])
+        dfreq = dict(zip(top["term"], top["df"]))
+        for d in docs:
+            counts = pd.Series(d["text"].split()).value_counts()
+            vec = np.array([
+                counts.get(t, 0) * np.log(3 / dfreq[t]) for t in terms
+            ])
+            nrm = np.linalg.norm(vec)
+            vec = vec / nrm if nrm > 0 else vec
+            got = np.asarray(out.loc[d["doc_id"], "embedding"])
+            np.testing.assert_allclose(got, vec, atol=1e-6)
+
+    def test_feeds_knn(self):
+        from vat_abcd_crawler_ray.pipelines.similarity import knn_bruteforce
+        from vat_abcd_crawler_ray.pipelines.vocab import tfidf_vectors
+
+        rng = np.random.default_rng(1)
+        rows = []
+        for i in range(30):
+            topic = "xx yy zz" if i % 2 else "aa bb cc"
+            noise = " ".join(rng.choice(list("defghijk"), 5))
+            rows.append({"doc_id": i, "text": f"{topic} {noise}"})
+        ds = rd.from_items(rows)
+        top, _ = vocab_stats(ds, top_n=20)
+        emb = tfidf_vectors(ds, top, n_docs=30).map_batches(
+            lambda df: df.rename(columns={"doc_id": "vec_id"}),
+            batch_format="pandas",
+        )
+        q = pd.DataFrame({
+            "query_id": [0],
+            "vector": [np.asarray(
+                emb.to_pandas().set_index("vec_id").loc[0, "embedding"]
+            )],
+        })
+        nn = knn_bruteforce(emb, q, k=5).to_pandas()
+        # doc 0's topic is the odd-doc topic — neighbors share parity
+        assert all(n % 2 == 0 for n in nn["neighbor_id"])

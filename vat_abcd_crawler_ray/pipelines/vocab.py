@@ -108,3 +108,58 @@ def vocab_stats(
             int(totals["distinct"].sum()) if len(totals) else 0
         ),
     }
+
+
+def tfidf_vectors(
+    docs,
+    top_terms: pd.DataFrame,
+    n_docs: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "embedding",
+):
+    """Dense L2-normalized TF-IDF vectors over the ``top_terms``
+    vocabulary (from :func:`vocab_stats`) — the classical sparse
+    retrieval embedding, emitted as a ``list<float>`` column so it
+    feeds ``pipelines/similarity.knn_bruteforce`` / ``knn_lsh``
+    directly. idf = ln(n_docs / df); tf raw counts; one shuffle-free
+    ``map_batches`` with the vocab broadcast in the closure.
+
+    Vectorized per block: explode words → map to vocab indices →
+    one offset bincount builds ALL docs' count matrices at once."""
+    import ray
+
+    vocab = {t: i for i, t in enumerate(top_terms["term"])}
+    idf = np.log(
+        n_docs / np.maximum(1, top_terms["df"].to_numpy(dtype=np.float64))
+    )
+    dim = len(vocab)
+    vocab_ref = ray.put((vocab, idf))
+
+    def vectorize(df: pd.DataFrame) -> pd.DataFrame:
+        vmap, idfv = ray.get(vocab_ref)
+        words = df[text_col].fillna("").str.lower().str.findall(_WORD)
+        n = len(df)
+        ex = words.explode().dropna()
+        mat = np.zeros((n, dim), dtype=np.float64)
+        if len(ex):
+            row_pos = pd.Series(np.arange(n), index=df.index)
+            rows = row_pos.loc[ex.index].to_numpy()
+            term_idx = ex.map(vmap).to_numpy()
+            keep = ~pd.isna(term_idx)
+            rows = rows[keep]
+            cols = term_idx[keep].astype(np.int64)
+            counts = np.bincount(rows * dim + cols, minlength=n * dim)
+            mat = counts.reshape(n, dim).astype(np.float64)
+        mat *= idfv[None, :]
+        norm = np.linalg.norm(mat, axis=1)
+        mat /= np.maximum(norm, 1e-12)[:, None]
+        # plain lists -> Arrow list<double> (numpy cells would become
+        # Ray's tensor extension type, which the kNN scan rejects)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            out_col: [row.tolist() for row in mat],
+        })
+
+    return docs.map_batches(vectorize, batch_format="pandas")
