@@ -66,7 +66,7 @@ _REAL_DECODERS = {
 
 def _sniff_format(blob: bytes) -> str:
     """Magic-byte format sniff for ``decoder="auto"``: PNG signature,
-    JPEG SOI, GIF87a/89a, netpbm P3/P6. Unknown prefixes raise
+    JPEG SOI, GIF87a/89a, BMP, netpbm P3/P6. Unknown prefixes raise
     ValueError so the caller's soft-error path turns them into a
     decode_error row."""
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
