@@ -145,7 +145,13 @@ def substring_dup_stats(
                 }
             )
 
-        return fp.map_batches(per_doc, batch_format="pyarrow")
+        # batch_size=None pins whole-block batches: a doc's rows are
+        # contiguous WITHIN a block (fingerprints_batch contract); a
+        # sub-block batch boundary could split a doc and emit two
+        # partial rows for it
+        return fp.map_batches(
+            per_doc, batch_format="pyarrow", batch_size=None
+        )
 
     # above-gate: the dup-key set never touches the driver — recombine
     # the partials AS A DATASET, filter to hot keys, flag via the
