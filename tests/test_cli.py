@@ -212,3 +212,26 @@ def test_cli_ingest_then_curate(tmp_path, capsys, ray_session):
     cur = _read_dir(cur_out)
     assert len(cur) == len(docs)
     assert set(cur["split"]) <= {"train", "val"}
+
+
+def test_cli_analyze_report(docs_parquet, tmp_path, capsys, ray_session):
+    rc = cli.main([
+        "analyze", "--input", docs_parquet,
+        "--top-terms", "50",
+        "--out-terms", str(tmp_path / "terms.parquet"),
+    ])
+    assert rc == 0
+    import json as _json
+
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    src = pd.read_parquet(docs_parquet)
+    assert report["n_docs"] == len(src)
+    assert report["total_tokens"] > 0
+    assert 0 <= report["low_quality_frac"] <= 1
+    assert abs(sum(report["lang_mix"].values()) - 1.0) < 0.01
+    assert 0 <= report["substring_dup_frac_mean"] <= 1
+    assert len(report["top_terms"]) <= 20
+    terms = pd.read_parquet(tmp_path / "terms.parquet")
+    assert {"term", "tf", "df"} <= set(terms.columns)
+    # report's top term agrees with the written table
+    assert report["top_terms"][0]["term"] == terms.iloc[0]["term"]

@@ -230,6 +230,78 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_analyze(args: argparse.Namespace) -> int:
+    """Corpus report card over a documents table: token/quality/
+    repetition aggregates, language mix, duplication coverage and the
+    top vocabulary — one JSON to stdout (plus optional top-terms
+    parquet). The look-before-you-train pass."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from .functions import textstats as ts
+    from .pipelines.substring_dedup import substring_dup_stats
+    from .pipelines.vocab import vocab_stats
+
+    owned = _init_ray(args.num_cpus)
+    import ray.data
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    ds = ray.data.read_parquet(
+        args.input, columns=[args.id_col, args.text_col],
+        override_num_blocks=ncpu * 2,
+    )
+    id_col, text_col = args.id_col, args.text_col
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        q = ts.quality_features(df[text_col]).reset_index(drop=True)
+        r = ts.repetition_features(df[text_col]).reset_index(drop=True)
+        return pd.DataFrame({
+            "n_tokens": q["n_tokens"],
+            "n_chars": q["n_chars"],
+            "quality_score": q["quality_score"],
+            "dup_line_frac": r["dup_line_frac"],
+            "top_bigram_char_frac": r["top_bigram_char_frac"],
+            "lang": ts.langid(df[text_col]),
+        })
+
+    f = ds.map_batches(feats, batch_format="pandas").to_pandas()
+    n_docs = len(f)
+    sub = substring_dup_stats(
+        ds, text_col=text_col, id_col=id_col
+    ).to_pandas()
+    top, vocab = vocab_stats(ds, text_col=text_col, top_n=args.top_terms)
+    report = {
+        "n_docs": int(n_docs),
+        "total_tokens": vocab["total_tokens"],
+        "distinct_terms": vocab["distinct_terms"],
+        "tokens_per_doc_p50": float(np.median(f["n_tokens"])),
+        "tokens_per_doc_mean": float(f["n_tokens"].mean()),
+        "quality_score_mean": float(f["quality_score"].mean()),
+        "low_quality_frac": float((f["quality_score"] < 0.2).mean()),
+        "lang_mix": {
+            k: round(v / n_docs, 4)
+            for k, v in f["lang"].value_counts().items()
+        },
+        "gopher_repetition_flag_frac": float(
+            ((f["dup_line_frac"] > 0.3)
+             | (f["top_bigram_char_frac"] > 0.2)).mean()
+        ),
+        "substring_dup_frac_mean": float(sub["dup_fp_frac"].mean()),
+        "heavy_boilerplate_frac": float(
+            (sub["dup_fp_frac"] > 0.5).mean()
+        ),
+        "top_terms": top.head(20).to_dict("records"),
+    }
+    if args.out_terms:
+        top.to_parquet(args.out_terms, index=False)
+        report["top_terms_parquet"] = args.out_terms
+    json.dump(report, sys.stdout)
+    print()
+    _shutdown_ray(owned)
+    return 0
+
+
 def cmd_curate(args: argparse.Namespace) -> int:
     """One-pass web-corpus curation: C4 line cleaning → PII scrub →
     token count, then optional deterministic sampling, train/val/test
@@ -370,6 +442,22 @@ def main(argv: list[str] | None = None) -> int:
     x.add_argument("--id-col", default="doc_id")
     x.add_argument("--num-cpus", type=int, default=None)
     x.set_defaults(fn=cmd_textstats)
+
+    an = sub.add_parser(
+        "analyze",
+        help="corpus report card: tokens/quality/langs/duplication/"
+        "vocabulary → JSON",
+    )
+    an.add_argument("--input", required=True)
+    an.add_argument("--text-col", default="text")
+    an.add_argument("--id-col", default="doc_id")
+    an.add_argument("--top-terms", type=int, default=1000)
+    an.add_argument(
+        "--out-terms", default=None,
+        help="also write the top-terms table to this parquet path",
+    )
+    an.add_argument("--num-cpus", type=int, default=None)
+    an.set_defaults(fn=cmd_analyze)
 
     ing = sub.add_parser(
         "ingest",
