@@ -152,3 +152,57 @@ class TestMixSources:
     def test_bad_rate_rejected(self):
         with pytest.raises(ValueError, match="rate"):
             mix_sources([(_docs(10), 2.0)], "doc_id")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStratifiedSample:
+    def _docs(self, n=6000):
+        langs = ["en", "de", "fr"]
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array([langs[i % 3] for i in range(n)]),
+        }))
+
+    def test_per_stratum_rates(self):
+        from vat_abcd_crawler_ray.ops.sampling import stratified_sample
+
+        out = stratified_sample(
+            self._docs(), "doc_id", "lang",
+            {"en": 0.1, "de": 1.0}, default=0.0, salt=5,
+        ).to_pandas()
+        by = out["lang"].value_counts()
+        assert by.get("de", 0) == 2000          # keep-all stratum
+        assert 120 < by.get("en", 0) < 280      # ~10% of 2000
+        assert "fr" not in by                   # default drops
+
+    def test_nested_fraction_growth_only_adds(self):
+        from vat_abcd_crawler_ray.ops.sampling import stratified_sample
+
+        small = {r["doc_id"] for r in stratified_sample(
+            self._docs(), "doc_id", "lang", {"en": 0.05}, salt=5
+        ).take_all()}
+        big = {r["doc_id"] for r in stratified_sample(
+            self._docs(), "doc_id", "lang", {"en": 0.2}, salt=5
+        ).take_all()}
+        assert small <= big
+
+    def test_agrees_with_flat_sample_on_single_stratum(self):
+        from vat_abcd_crawler_ray.ops.sampling import (
+            sample_by_hash,
+            stratified_sample,
+        )
+
+        docs = self._docs(1500)
+        a = {r["doc_id"] for r in stratified_sample(
+            docs, "doc_id", "lang",
+            {"en": 0.3, "de": 0.3, "fr": 0.3}, salt=2
+        ).take_all()}
+        b = {r["doc_id"] for r in
+             sample_by_hash(docs, "doc_id", 0.3, salt=2).take_all()}
+        assert a == b
+
+    def test_bad_fraction(self):
+        from vat_abcd_crawler_ray.ops.sampling import stratified_sample
+
+        with pytest.raises(ValueError):
+            stratified_sample(self._docs(10), "doc_id", "lang", {"en": 2.0})

@@ -153,3 +153,36 @@ def mix_sources(
     for ds in kept[1:]:
         out = out.union(ds)
     return out
+
+
+def stratified_sample(
+    ds,
+    key_col: str,
+    strata_col: str,
+    fractions: dict,
+    default: float = 0.0,
+    salt: int = 0,
+):
+    """Per-stratum deterministic sampling: keep a row iff
+    ``key01(key, salt) < fractions.get(row[strata_col], default)`` —
+    the per-language / per-source rate knob (e.g. keep 100% of rare
+    languages, 5% of English). Same interval semantics as
+    ``sample_by_hash``, so raising one stratum's fraction only ADDS
+    rows and strata stay aligned across tables sharing the key.
+    Shuffle-free: the fraction lookup is a vectorized map over the
+    strata column inside each block."""
+    import pandas as pd
+
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction {frac} for stratum {name!r}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default fraction {default}")
+
+    def f(t: pa.Table) -> pa.Table:
+        u = key01(t[key_col], salt)
+        strata = pd.Series(t[strata_col].to_pylist())
+        thr = strata.map(fractions).fillna(default).to_numpy(dtype=float)
+        return t.filter(pa.array(u < thr))
+
+    return ds.map_batches(f, batch_format="pyarrow")
