@@ -194,3 +194,36 @@ class TestDecoderFuzzContract:
         jb[i + 5 : i + 9] = struct.pack(">HH", 65535, 65535)
         with pytest.raises(ValueError):
             decode_jpeg(bytes(jb))
+
+    def test_wav_all_codecs(self):
+        from vat_abcd_crawler_ray.functions.codecs import (
+            decode_wav,
+            encode_wav,
+            encode_wav_adpcm,
+            encode_wav_mulaw,
+        )
+
+        sig = (8000 * np.sin(np.arange(400) / 9)).astype(np.int16)
+        for blob in (encode_wav(sig, 16000),
+                     encode_wav_mulaw(bytes(range(256)), 8000),
+                     encode_wav_adpcm(sig, 8000, 64)):
+            self._fuzz(blob, decode_wav, trials=400)
+
+    def test_avi_and_webdataset_containers(self):
+        from vat_abcd_crawler_ray.functions.codecs import (
+            demux_avi_mjpeg,
+            encode_avi_mjpeg,
+            encode_jpeg,
+        )
+        from vat_abcd_crawler_ray.sources.webdataset import (
+            parse_shard,
+            write_webdataset_shard,
+        )
+
+        frames = [encode_jpeg(_limited(8, 8), 90) for _ in range(2)]
+        self._fuzz(encode_avi_mjpeg(frames, 8, 8), demux_avi_mjpeg,
+                   trials=400)
+        wds = write_webdataset_shard([("a", {"jpg": b"x" * 50})])
+        # parse_shard must NEVER raise (it dead-letters internally)
+        self._fuzz(wds, lambda b: parse_shard("s", b, ["jpg"]),
+                   trials=400)

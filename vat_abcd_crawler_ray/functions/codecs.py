@@ -171,6 +171,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
         payload = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(payload) < 16:  # fuzz contract: truncated fmt is
+                raise ValueError("truncated WAVE fmt chunk")  # corrupt DATA
             audio_fmt, channels, sample_rate = struct.unpack("<HHI", payload[:8])
             block_align, bits = struct.unpack("<HH", payload[12:16])
             if (audio_fmt, bits) not in ((1, 16), (7, 8), (0x11, 4)):
@@ -181,7 +183,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             if audio_fmt == 0x11 and channels != 1:
                 raise ValueError("IMA ADPCM: mono only")
         elif cid == b"fact":
-            fact_samples = struct.unpack("<I", payload[:4])[0]
+            if len(payload) >= 4:
+                fact_samples = struct.unpack("<I", payload[:4])[0]
         elif cid == b"data":
             raw = payload
         pos += 8 + size + (size & 1)  # chunks are word-aligned

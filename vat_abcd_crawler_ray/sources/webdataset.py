@@ -32,20 +32,26 @@ def iter_tar_samples(data: bytes):
         raise ValueError(f"not a tar archive: {exc}") from exc
     cur_key = None
     cur: dict[str, bytes] = {}
-    with tf:
-        for member in tf:
-            if not member.isfile():
-                continue
-            name = member.name.rsplit("/", 1)[-1]
-            stem, _, ext = name.partition(".")
-            if not ext:
-                continue  # extension-less member: not a modality file
-            if stem != cur_key:
-                if cur_key is not None and cur:
-                    yield cur_key, cur
-                cur_key, cur = stem, {}
-            payload = tf.extractfile(member)
-            cur[ext.lower()] = payload.read() if payload else b""
+    # mid-iteration corruption raises TarError LAZILY (inside the
+    # member loop's next()/extractfile) — convert at this boundary so
+    # the caller's dead-letter contract stays ValueError (fuzz-found)
+    try:
+        with tf:
+            for member in tf:
+                if not member.isfile():
+                    continue
+                name = member.name.rsplit("/", 1)[-1]
+                stem, _, ext = name.partition(".")
+                if not ext:
+                    continue  # extension-less member: not a modality
+                if stem != cur_key:
+                    if cur_key is not None and cur:
+                        yield cur_key, cur
+                    cur_key, cur = stem, {}
+                payload = tf.extractfile(member)
+                cur[ext.lower()] = payload.read() if payload else b""
+    except tarfile.TarError as exc:
+        raise ValueError(f"corrupt tar archive: {exc}") from exc
     if cur_key is not None and cur:
         yield cur_key, cur
 
