@@ -235,3 +235,36 @@ def test_cli_analyze_report(docs_parquet, tmp_path, capsys, ray_session):
     assert {"term", "tf", "df"} <= set(terms.columns)
     # report's top term agrees with the written table
     assert report["top_terms"][0]["term"] == terms.iloc[0]["term"]
+
+
+def test_cli_lm_train_then_curate_ppl_filter(docs_parquet, tmp_path,
+                                             capsys, ray_session):
+    """lm-train → curate --ppl-model: the CCNet filter as commands."""
+    lm_path = str(tmp_path / "ref_lm.npy")
+    rc = cli.main(["lm-train", "--input", docs_parquet, "--out", lm_path])
+    assert rc == 0
+
+    out_all = str(tmp_path / "no_filter")
+    cli.main(["curate", "--input", docs_parquet, "--out", out_all,
+              "--keep-unterminated"])
+    n_all = len(_read_dir(out_all))
+
+    # a generous cap keeps everything (docs ARE the training corpus)
+    out_keep = str(tmp_path / "keep")
+    cli.main(["curate", "--input", docs_parquet, "--out", out_keep,
+              "--keep-unterminated", "--ppl-model", lm_path,
+              "--ppl-max", "1000"])
+    kept = _read_dir(out_keep)
+    assert len(kept) == n_all
+    assert "ppl" in kept.columns and kept["ppl"].notna().all()
+
+    # an impossible cap drops everything
+    out_drop = str(tmp_path / "drop")
+    cli.main(["curate", "--input", docs_parquet, "--out", out_drop,
+              "--keep-unterminated", "--ppl-model", lm_path,
+              "--ppl-max", "1.0001"])
+    import glob as _glob
+
+    files = _glob.glob(out_drop + "/**/*.parquet", recursive=True)
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert total == 0

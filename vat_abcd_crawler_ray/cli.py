@@ -302,6 +302,27 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_lm_train(args: argparse.Namespace) -> int:
+    """Train the byte-bigram reference LM over a (clean) documents
+    table and save it — the model `curate --ppl-model` filters with."""
+    from .functions.lm import save_lm, train_byte_lm
+
+    owned = _init_ray(args.num_cpus)
+    import ray
+    import ray.data
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    ds = ray.data.read_parquet(
+        args.input, columns=[args.text_col],
+        override_num_blocks=ncpu * 2,
+    )
+    save_lm(train_byte_lm(ds, text_col=args.text_col), args.out)
+    json.dump({"out": args.out}, sys.stdout)
+    print()
+    _shutdown_ray(owned)
+    return 0
+
+
 def cmd_curate(args: argparse.Namespace) -> int:
     """One-pass web-corpus curation: C4 line cleaning → PII scrub →
     token count, then optional deterministic sampling, train/val/test
@@ -340,6 +361,22 @@ def cmd_curate(args: argparse.Namespace) -> int:
         return out
 
     ds = ds.map_batches(curate, batch_format="pandas")
+    if args.ppl_model:
+        # CCNet-style LM filter: drop docs above the perplexity cap
+        # (model trained once via `lm-train`, broadcast to every task)
+        from .functions.lm import load_lm, perplexity
+
+        lp_ref = ray.put(load_lm(args.ppl_model))
+        ppl_max = args.ppl_max
+
+        def ppl_filter(df: pd.DataFrame) -> pd.DataFrame:
+            lp = ray.get(lp_ref)
+            p = perplexity(df["text"], lp)
+            out = df[(~pd.isna(p)) & (p <= ppl_max)].copy()
+            out["ppl"] = p[(~pd.isna(p)) & (p <= ppl_max)]
+            return out
+
+        ds = ds.map_batches(ppl_filter, batch_format="pandas")
     if args.sample < 1.0:
         ds = sample_by_hash(ds, id_col, args.sample, salt=args.salt)
     if args.splits:
@@ -459,6 +496,17 @@ def main(argv: list[str] | None = None) -> int:
     an.add_argument("--num-cpus", type=int, default=None)
     an.set_defaults(fn=cmd_analyze)
 
+    lt = sub.add_parser(
+        "lm-train",
+        help="train the byte-bigram reference LM → .npy (for curate "
+        "--ppl-model)",
+    )
+    lt.add_argument("--input", required=True)
+    lt.add_argument("--out", required=True)
+    lt.add_argument("--text-col", default="text")
+    lt.add_argument("--num-cpus", type=int, default=None)
+    lt.set_defaults(fn=cmd_lm_train)
+
     ing = sub.add_parser(
         "ingest",
         help="WARC(.gz) files/dir → curation-ready documents parquet",
@@ -493,6 +541,14 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument(
         "--pack-budget", type=int, default=None,
         help="pack docs into token-budget bins (adds pack_id/offset)",
+    )
+    cu.add_argument(
+        "--ppl-model", default=None,
+        help="byte-bigram LM (.npy from lm-train): filter by perplexity",
+    )
+    cu.add_argument(
+        "--ppl-max", type=float, default=8.0,
+        help="drop docs with byte perplexity above this (with --ppl-model)",
     )
     cu.add_argument(
         "--keep-unterminated", action="store_true",

@@ -107,3 +107,15 @@ def perplexity_batch(logprob_ref):
         return out
 
     return f
+
+
+def save_lm(logprob: np.ndarray, path: str) -> None:
+    """Persist the log-prob matrix (.npy — 512 KB)."""
+    np.save(path, logprob)
+
+
+def load_lm(path: str) -> np.ndarray:
+    lp = np.load(path)
+    if lp.shape != (256, 256):
+        raise ValueError(f"not a byte-bigram LM (shape {lp.shape})")
+    return lp
