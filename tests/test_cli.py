@@ -268,3 +268,36 @@ def test_cli_lm_train_then_curate_ppl_filter(docs_parquet, tmp_path,
     files = _glob.glob(out_drop + "/**/*.parquet", recursive=True)
     total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     assert total == 0
+
+
+def test_cli_curate_with_dedup(docs_parquet, tmp_path, capsys, ray_session):
+    """curate --dedup minhash removes the near-duplicates the corpus
+    generator plants, inside the one-pass chain."""
+    out_dir = str(tmp_path / "cur_dedup")
+    rc = cli.main([
+        "curate", "--input", docs_parquet, "--out", out_dir,
+        "--keep-unterminated", "--dedup", "minhash",
+    ])
+    assert rc == 0
+    kept = _read_dir(out_dir)
+    src = pd.read_parquet(docs_parquet)
+    assert 0 < len(kept) < len(src)          # something was removed
+    assert kept["doc_id"].is_unique
+    # library parity: same kept set as the standalone dedup operator
+    from vat_abcd_crawler_ray.functions import textstats as ts
+    from vat_abcd_crawler_ray.pipelines import dedup as dd
+    import ray.data as rd
+
+    cleaned = rd.from_pandas(pd.DataFrame({
+        "doc_id": src["doc_id"],
+        "text": ts.scrub_pii(
+            ts.clean_lines(src["text"], require_terminal=False)["text"]
+        )["text"],
+    }))
+    want = sorted(
+        r["doc_id"]
+        for r in dd.minhash_lsh_dedup(
+            cleaned, text_col="text", id_col="doc_id", threshold=0.8
+        ).select_columns(["doc_id"]).take_all()
+    )
+    assert sorted(kept["doc_id"]) == want

@@ -361,6 +361,21 @@ def cmd_curate(args: argparse.Namespace) -> int:
         return out
 
     ds = ds.map_batches(curate, batch_format="pandas")
+    if args.dedup:
+        # near-dup removal INSIDE the chain (post-clean/scrub text is
+        # what should be compared — boilerplate removal first makes
+        # the similarity signal about content, not chrome)
+        from .pipelines import dedup as dd
+
+        if args.dedup == "exact":
+            ds = dd.exact_dedup(ds, text_col="text", id_col=id_col)
+        elif args.dedup == "minhash":
+            ds = dd.minhash_lsh_dedup(
+                ds, text_col="text", id_col=id_col,
+                threshold=args.dedup_threshold,
+            )
+        else:  # simhash
+            ds = dd.simhash_dedup(ds, text_col="text", id_col=id_col)
     if args.ppl_model:
         # CCNet-style LM filter: drop docs above the perplexity cap
         # (model trained once via `lm-train`, broadcast to every task)
@@ -542,6 +557,12 @@ def main(argv: list[str] | None = None) -> int:
         "--pack-budget", type=int, default=None,
         help="pack docs into token-budget bins (adds pack_id/offset)",
     )
+    cu.add_argument(
+        "--dedup", default=None,
+        choices=["exact", "minhash", "simhash"],
+        help="near-dup removal inside the chain (post-clean text)",
+    )
+    cu.add_argument("--dedup-threshold", type=float, default=0.8)
     cu.add_argument(
         "--ppl-model", default=None,
         help="byte-bigram LM (.npy from lm-train): filter by perplexity",
