@@ -301,3 +301,52 @@ def test_cli_curate_with_dedup(docs_parquet, tmp_path, capsys, ray_session):
         ).select_columns(["doc_id"]).take_all()
     )
     assert sorted(kept["doc_id"]) == want
+
+
+def test_cli_full_story_ingest_analyze_curate(tmp_path, capsys, ray_session):
+    """The product story as one flow: WARC shards → ingest → analyze
+    (report sanity) → curate with dedup + split + packing."""
+    import json as _json
+
+    from vat_abcd_crawler_ray.sources.warc import write_warc
+
+    wdir = tmp_path / "w"
+    wdir.mkdir()
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    words = ["alpha", "bridge", "copper", "delta", "ember", "forest",
+             "glacier", "harbor", "island", "jungle", "kernel", "lumen",
+             "meadow", "nectar", "onyx", "prairie"]
+    page = ("<html><head><title>T</title></head><body>"
+            "<p>%s</p></body></html>")
+    recs = [{
+        "url": f"https://site{i % 4}.example/p{i}",
+        "status": 200,
+        "content_type": "text/html",
+        # genuinely distinct word salads: near-dup removal must keep
+        # all 30 and drop only the planted exact copies
+        "body": (page % (" ".join(rng.choice(words, 40)) + ".")).encode(),
+    } for i in range(30)]
+    # plant near-duplicates: last 5 repeat earlier pages
+    for i in range(5):
+        recs.append(dict(recs[i], url=f"https://dup.example/{i}"))
+    (wdir / "a.warc.gz").write_bytes(write_warc(recs, gz=True))
+
+    docs = str(tmp_path / "docs")
+    assert cli.main(["ingest", "--warc", str(wdir), "--out", docs]) == 0
+
+    assert cli.main(["analyze", "--input", docs, "--id-col", "url"]) == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["n_docs"] == 35
+    assert report["substring_dup_frac_mean"] > 0  # planted dups visible
+
+    out = str(tmp_path / "final")
+    assert cli.main([
+        "curate", "--input", docs, "--out", out, "--id-col", "url",
+        "--keep-unterminated", "--dedup", "minhash",
+        "--splits", "train=0.8,val=0.2", "--pack-budget", "64",
+    ]) == 0
+    final = _read_dir(out)
+    assert len(final) == 30  # the 5 planted duplicates are gone
+    assert {"split", "pack_id", "pack_offset"} <= set(final.columns)

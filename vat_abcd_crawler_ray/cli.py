@@ -364,18 +364,47 @@ def cmd_curate(args: argparse.Namespace) -> int:
     if args.dedup:
         # near-dup removal INSIDE the chain (post-clean/scrub text is
         # what should be compared — boilerplate removal first makes
-        # the similarity signal about content, not chrome)
+        # the similarity signal about content, not chrome). The dedup
+        # family keys on int64 ids; string id columns (urls) ride
+        # through a stable murmur3 surrogate added for the step and
+        # dropped after (collision odds ~n^2/2^64 — nil at any corpus)
+        import pyarrow.types as pat
+
+        from .functions.urlkeys import murmur3_64_batch
         from .pipelines import dedup as dd
 
+        did = id_col
+        sch = ds.schema()  # Ray schema wrapper: parallel names/types
+        id_type = sch.types[sch.names.index(id_col)]
+        # Ray may report a PYTHON type (object) for pandas-produced
+        # string columns; only a genuine Arrow integer skips the sid
+        import pyarrow as _pa
+
+        is_int_id = isinstance(id_type, _pa.DataType) and pat.is_integer(
+            id_type
+        )
+        if not is_int_id:
+            did = "__dedup_sid"
+
+            def add_sid(df: pd.DataFrame, _id=id_col) -> pd.DataFrame:
+                out = df.copy()
+                out["__dedup_sid"] = murmur3_64_batch(
+                    df[_id].astype(str).tolist()
+                ).astype("int64")
+                return out
+
+            ds = ds.map_batches(add_sid, batch_format="pandas")
         if args.dedup == "exact":
-            ds = dd.exact_dedup(ds, text_col="text", id_col=id_col)
+            ds = dd.exact_dedup(ds, text_col="text", id_col=did)
         elif args.dedup == "minhash":
             ds = dd.minhash_lsh_dedup(
-                ds, text_col="text", id_col=id_col,
+                ds, text_col="text", id_col=did,
                 threshold=args.dedup_threshold,
             )
         else:  # simhash
-            ds = dd.simhash_dedup(ds, text_col="text", id_col=id_col)
+            ds = dd.simhash_dedup(ds, text_col="text", id_col=did)
+        if did != id_col:
+            ds = ds.drop_columns(["__dedup_sid"])
     if args.ppl_model:
         # CCNet-style LM filter: drop docs above the perplexity cap
         # (model trained once via `lm-train`, broadcast to every task)

@@ -98,14 +98,23 @@ def pack_sequences(
         lens = t[len_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if (lens < 0).any():
             raise ValueError(f"negative length in {len_col!r}")
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if np.issubdtype(ids.dtype, np.integer):
+            ids = ids.astype(np.int64)
         bin_of, offset = pack_rows(lens, budget)
-        # pack id = min member id, computed per bin
+        # pack id = min member id per bin — works for ANY orderable id
+        # (int doc_ids or url strings): lexsort by (bin, id), the first
+        # row of each bin run is its minimum
         nb = int(bin_of.max()) + 1 if len(bin_of) else 0
-        pack_min = np.full(nb, np.iinfo(np.int64).max)
-        np.minimum.at(pack_min, bin_of, ids)
+        if nb:
+            order = np.lexsort((ids, bin_of))
+            _, first = np.unique(bin_of[order], return_index=True)
+            pack_min = ids[order][first]  # indexed by bin number
+            pack_ids = pack_min[bin_of]
+        else:
+            pack_ids = ids
         return (
-            t.append_column("pack_id", pa.array(pack_min[bin_of], pa.int64()))
+            t.append_column("pack_id", pa.array(pack_ids))
             .append_column("pack_offset", pa.array(offset, pa.int64()))
             .append_column(
                 "oversize", pa.array(lens > budget, pa.bool_())

@@ -62,12 +62,17 @@ def fingerprints_batch(
     rows CONTIGUOUS (the broadcast-regime per-doc aggregation in
     :func:`substring_dup_stats` relies on that co-location)."""
     ids, fps = [], []
-    for i, text in zip(df[id_col].to_numpy(), df[text_col]):
+    id_vals = df[id_col].to_numpy()  # int64 OR string ids both work:
+    # the doc-keyed combine partitions strings via vectorized siphash
+    for i, text in zip(id_vals, df[text_col]):
         u = winnow(text or "", k, w)
-        ids.append(np.full(len(u), i, dtype=np.int64))
+        ids.append(np.full(len(u), i, dtype=id_vals.dtype))
         fps.append(u)
     if not ids:
-        return pd.DataFrame({id_col: [], "fp": []}).astype(np.int64)
+        return pd.DataFrame(
+            {id_col: pd.Series([], dtype=df[id_col].dtype),
+             "fp": pd.Series([], dtype=np.int64)}
+        )
     return pd.DataFrame(
         {id_col: np.concatenate(ids), "fp": np.concatenate(fps)}
     )
@@ -136,7 +141,7 @@ def substring_dup_stats(
             n_dup = np.add.reduceat(dup.astype(np.int64), start)
             return pa.table(
                 {
-                    id_col: pa.array(uids, pa.int64()),
+                    id_col: pa.array(uids),
                     "n_fp": pa.array(n_fp, pa.int64()),
                     "n_dup_fp": pa.array(n_dup, pa.int64()),
                     "dup_fp_frac": pa.array(
@@ -182,7 +187,7 @@ def substring_dup_stats(
         n_dup = np.bincount(inv, weights=dup).astype(np.int64)
         return pa.table(
             {
-                id_col: pa.array(uids, pa.int64()),
+                id_col: pa.array(uids),
                 "n_fp": pa.array(n_fp.astype(np.int64), pa.int64()),
                 "n_dup_fp": pa.array(n_dup, pa.int64()),
             }
