@@ -160,3 +160,80 @@ class TestCurationInvariants:
         df = repetition_features(pd.Series(texts))
         for c in df.columns:
             assert (df[c] >= 0).all() and (df[c] <= 1).all()
+
+
+class TestIngestRoundTrips:
+    """Generated-content round trips for the ingest formats: what the
+    fixture writers emit, the parsers must recover exactly."""
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(
+        st.tuples(
+            st.integers(0, 10**6),
+            st.binary(min_size=0, max_size=400),
+        ),
+        min_size=1, max_size=12,
+    ), st.booleans())
+    def test_warc_roundtrip(self, pages, gz):
+        from vat_abcd_crawler_ray.sources.warc import (
+            parse_warc_file,
+            write_warc,
+        )
+
+        recs = [{
+            "url": f"https://h.example/p{i}",
+            "status": 200,
+            "content_type": "application/octet-stream",
+            "body": body,
+        } for i, body in pages]
+        t = parse_warc_file("f", write_warc(recs, gz=gz))
+        assert t["warc_error"].to_pylist() == [None] * len(recs)
+        assert t["html"].to_pylist() == [r["body"] for r in recs]
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(
+        st.tuples(
+            st.from_regex(r"[a-z][a-z0-9]{0,10}", fullmatch=True),
+            st.binary(min_size=0, max_size=300),
+        ),
+        min_size=1, max_size=10,
+        unique_by=lambda kv: kv[0],
+    ))
+    def test_webdataset_roundtrip(self, samples):
+        from vat_abcd_crawler_ray.sources.webdataset import (
+            parse_shard,
+            write_webdataset_shard,
+        )
+
+        groups = [(k, {"bin": payload}) for k, payload in samples]
+        t = parse_shard("s", write_webdataset_shard(groups), ["bin"])
+        assert t["key"].to_pylist() == [k for k, _ in samples]
+        assert t["bin"].to_pylist() == [p for _, p in samples]
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(
+        st.from_regex(r"https://[a-z]{1,8}\.example/[a-z0-9/]{0,20}",
+                      fullmatch=True),
+        min_size=1, max_size=15,
+    ))
+    def test_sitemap_roundtrip(self, urls):
+        from vat_abcd_crawler_ray.functions.sitemap import parse_sitemap
+
+        xml = "<urlset>" + "".join(
+            f"<url><loc>{u}</loc></url>" for u in urls
+        ) + "</urlset>"
+        assert parse_sitemap(xml)["urls"] == urls
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.from_regex(r"/[a-z0-9/*]{0,12}", fullmatch=True),
+                    min_size=0, max_size=8),
+           st.from_regex(r"/[a-z0-9/]{0,15}", fullmatch=True))
+    def test_robots_never_crashes_and_is_deterministic(self, pats, path):
+        from vat_abcd_crawler_ray.functions.robots import parse_robots
+
+        txt = "User-agent: *\n" + "\n".join(
+            f"{'Allow' if i % 2 else 'Disallow'}: {p}"
+            for i, p in enumerate(pats)
+        )
+        r = parse_robots(txt, "anybot")
+        assert r.allowed(path) == r.allowed(path)
